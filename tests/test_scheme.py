@@ -1,0 +1,143 @@
+"""Bit-exactness tests: mxq_tpu.scheme vs golden outputs captured from the
+reference torch implementation (tools/make_goldens.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mxq_tpu import scheme
+from mxq_tpu.config import MXQConfig
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+CFG = MXQConfig()
+
+
+def load(name):
+    return np.load(os.path.join(GOLDEN, name + ".npz"))
+
+
+class TestQATFakeQuant:
+    def test_mxasym_forward_matches_reference(self):
+        g = load("qat_mxasym")
+        out = scheme.mxq_fake_quant_qat(jnp.asarray(g["w"]), CFG)
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=0, atol=1e-6)
+
+    def test_ste_backward_clip_mask(self):
+        g = load("qat_mxasym")
+        w = jnp.asarray(g["w_big"])
+        coeff = jnp.asarray(g["coeff"])
+
+        def loss(w):
+            return jnp.sum(scheme.mxq_fake_quant_ste(w, CFG) * coeff)
+
+        grad = jax.grad(loss)(w)
+        np.testing.assert_allclose(np.asarray(grad), g["grad_big"],
+                                   rtol=0, atol=1e-6)
+
+    def test_sym_act_quant(self):
+        g = load("qat_sym_a8")
+        out = scheme.sym_fake_quant(jnp.asarray(g["x"]), bits=8, groupsize=128)
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=0, atol=1e-6)
+        out_lw = scheme.sym_fake_quant(jnp.asarray(g["x"]), bits=8,
+                                       layerwise=True)
+        np.testing.assert_allclose(np.asarray(out_lw), g["out_lw"],
+                                   rtol=0, atol=1e-6)
+
+    def test_asym_act_quant(self):
+        g = load("qat_asym_a4")
+        out = scheme.asym_fake_quant(jnp.asarray(g["x"]), bits=4, groupsize=8)
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=0, atol=1e-6)
+        out_lw = scheme.asym_fake_quant(jnp.asarray(g["x"]), bits=4,
+                                        layerwise=True)
+        np.testing.assert_allclose(np.asarray(out_lw), g["out_lw"],
+                                   rtol=0, atol=1e-6)
+
+
+class TestPTQQuantizer:
+    def test_2b_group_with_double_quant(self):
+        """One 16-column group, 2-bit, qq_scale_bits=4 — the building block of
+        fasterquant's inner loop (mxqgpt.py:420-428)."""
+        g = load("ptq_quantizer_2b")
+        w = jnp.asarray(g["w"])  # [32, 16] — one group per row
+        scale, zero = scheme.asym_find_params(w, CFG.maxq_lo)
+        np.testing.assert_allclose(np.asarray(zero), g["zero"][:, 0],
+                                   rtol=0, atol=1e-6)
+        dq = scheme.double_quant_scales(scale, CFG.qq_scale_bits, CFG.qq_group)
+        np.testing.assert_allclose(np.asarray(dq.scale_dq), g["scale"][:, 0],
+                                   rtol=0, atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(dq.codes).reshape(-1, 16), g["scale_codes"])
+        out = scheme.asym_qdq(w, dq.scale_dq[:, None], zero[:, None],
+                              CFG.maxq_lo, CFG.ptq_eps)
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=0, atol=1e-6)
+
+    def test_4b_rowwise_with_double_quant(self):
+        g = load("ptq_quantizer_4b")
+        w = jnp.asarray(g["w"])
+        scale, zero = scheme.asym_find_params(w, CFG.maxq_hi)
+        dq = scheme.double_quant_scales(scale, CFG.qq_scale_bits, CFG.qq_group)
+        out = scheme.asym_qdq(w, dq.scale_dq[:, None], zero[:, None],
+                              CFG.maxq_hi, CFG.ptq_eps)
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=0, atol=1e-6)
+
+    def test_fasterquant_full_layer(self):
+        """Whole-layer PTQ quant-dequant incl. dead-column zeroing matches
+        MXQGPT.fasterquant (mxqgpt.py:387-448)."""
+        g = load("ptq_fasterquant")
+        w = jnp.asarray(g["w"])
+        dead = (g["inp"] ** 2).sum(0) == 0
+        w = w.at[:, jnp.asarray(dead)].set(0.0)
+        out = scheme.mxq_fake_quant_ptq(w, CFG)
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=0, atol=1e-5)
+        # dead columns are zeroed BEFORE quantization; after asym quant-dequant
+        # they come back as the small dequant-of-zero value, same as reference.
+        assert np.abs(np.asarray(out)[:, dead]).max() < 1.0
+
+
+class TestRoundTripAndProperties:
+    def test_ptq_quantize_dequantize_roundtrip(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (32, 128))
+        qw = scheme.mxq_quantize_ptq(w, CFG)
+        wdq = scheme.mxq_dequantize(qw, CFG)
+        np.testing.assert_allclose(np.asarray(wdq),
+                                   np.asarray(scheme.mxq_fake_quant_ptq(w, CFG)),
+                                   rtol=0, atol=0)
+
+    def test_round_zero_codes_are_integral(self):
+        w = jax.random.normal(jax.random.PRNGKey(1), (32, 128))
+        qw = scheme.mxq_quantize_ptq(w, CFG, round_zero=True)
+        for arr, hi in [(qw.lo_codes, CFG.maxq_lo), (qw.hi_codes, CFG.maxq_hi),
+                        (qw.lo_zero, CFG.maxq_lo), (qw.hi_zero, CFG.maxq_hi),
+                        (qw.lo_scale_codes, CFG.maxq_qq),
+                        (qw.lo_qq_zero, CFG.maxq_qq), (qw.hi_qq_zero, CFG.maxq_qq)]:
+            a = np.asarray(arr)
+            assert a.dtype == np.int8
+            assert a.min() >= 0 and a.max() <= hi
+
+    def test_fake_quant_is_idempotent(self):
+        w = jax.random.normal(jax.random.PRNGKey(2), (16, 64))
+        once = scheme.mxq_fake_quant_qat(w, CFG)
+        twice = scheme.mxq_fake_quant_qat(once, CFG)
+        np.testing.assert_allclose(np.asarray(once), np.asarray(twice),
+                                   rtol=0, atol=1e-6)
+
+    def test_split_merge_blocks_roundtrip(self):
+        w = jax.random.normal(jax.random.PRNGKey(3), (8, 192))
+        lo, hi = scheme.split_blocks(w, CFG)
+        assert lo.shape == (8, 144) and hi.shape == (8, 48)
+        np.testing.assert_array_equal(np.asarray(scheme.merge_blocks(lo, hi, CFG)),
+                                      np.asarray(w))
+
+    def test_quantization_error_bounded(self):
+        w = jax.random.normal(jax.random.PRNGKey(4), (64, 256))
+        err_qat = jnp.abs(scheme.mxq_fake_quant_qat(w, CFG) - w).max()
+        err_ptq = jnp.abs(scheme.mxq_fake_quant_ptq(w, CFG) - w).max()
+        # 2-bit groups of 16 gaussians: range < ~9 sigma, step = range/3
+        assert float(err_qat) < 1.5
+        assert float(err_ptq) < 1.5
+
+    def test_effective_bits(self):
+        assert 2.7 < CFG.effective_bits(4096, 4096) < 3.0
