@@ -1,0 +1,334 @@
+"""Quantized Llama in functional JAX — the TPU rebuild of the reference's
+``LLM-QAT/models/modeling_llama_quant.py`` (1,092-line HF fork).
+
+Design: a pure params-pytree + jit-friendly functions, not a module tree.
+Layers are stacked along a leading axis and iterated with ``jax.lax.scan``
+(one trace for all layers, fast compiles, clean sharding) instead of the
+reference's Python list of modules (modeling_llama_quant.py:633,726-758).
+
+Weight quantization modes per linear (reference QuantizeLinear,
+utils_quant.py:601-727):
+  * w_bits >= 32: plain matmul
+  * 2 <= w_bits < 32: MXQ fake-quant with STE (MXAsymQuantizer.apply path,
+    utils_quant.py:637-641) — used for QAT and PTQ-parity eval
+  * packed: x @ dequant(packed) through the Pallas kernel (serving path; the
+    capability the reference's cuda_kernel never wired up)
+
+Activation quant: Sym/Asym groupwise fake-quant when 2 < a_bits < 32
+(utils_quant.py:717-721). KV-cache fake-quant with SymQuantizer when
+kv_bits < 32 (modeling_llama_quant.py:251-255,323-329).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mxq_tpu import scheme
+from mxq_tpu.config import MXQConfig, DEFAULT_SCHEME
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32        # GQA-ready (reference is MHA-only)
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    # quantization switches (reference: configuration_llama.py:98-99 + train.py:58)
+    w_bits: int = 32
+    a_bits: int = 32
+    kv_bits: int = 32
+    a_symmetric: bool = True
+    scheme: MXQConfig = dataclasses.field(default_factory=MXQConfig)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def tiny(cls, **kw) -> "LlamaConfig":
+        """A test-size config (everything divisible by the MXQ block of 64)."""
+        d = dict(vocab_size=512, hidden_size=256, intermediate_size=512,
+                 num_hidden_layers=2, num_attention_heads=4,
+                 num_key_value_heads=4, max_position_embeddings=256)
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def llama2_7b(cls, **kw) -> "LlamaConfig":
+        return cls(**kw)
+
+    @classmethod
+    def llama2_13b(cls, **kw) -> "LlamaConfig":
+        d = dict(hidden_size=5120, intermediate_size=13824,
+                 num_hidden_layers=40, num_attention_heads=40,
+                 num_key_value_heads=40)
+        d.update(kw)
+        return cls(**d)
+
+    @classmethod
+    def llama2_70b(cls, **kw) -> "LlamaConfig":
+        d = dict(hidden_size=8192, intermediate_size=28672,
+                 num_hidden_layers=80, num_attention_heads=64,
+                 num_key_value_heads=8, max_position_embeddings=4096)
+        d.update(kw)
+        return cls(**d)
+
+
+# ---------------------------------------------------------------------------
+# Parameter init / structure
+# ---------------------------------------------------------------------------
+
+LAYER_LINEARS = ("q_proj", "k_proj", "v_proj", "o_proj",
+                 "gate_proj", "up_proj", "down_proj")
+
+
+def _linear_shapes(cfg: LlamaConfig) -> dict[str, tuple[int, int]]:
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    kv = cfg.num_key_value_heads * cfg.head_dim
+    return dict(q_proj=(h, h), k_proj=(h, kv), v_proj=(h, kv), o_proj=(h, h),
+                gate_proj=(h, i), up_proj=(h, i), down_proj=(i, h))
+
+
+def init_params(cfg: LlamaConfig, key: jax.Array,
+                dtype=jnp.float32) -> dict:
+    """Random-init parameter pytree. Linear weights are stored [in, out]
+    (transposed from torch) so forward is x @ w."""
+    keys = jax.random.split(key, 3 + len(LAYER_LINEARS))
+    l = cfg.num_hidden_layers
+    shapes = _linear_shapes(cfg)
+
+    def init_stack(k, fan_in, fan_out):
+        std = 1.0 / np.sqrt(fan_in)
+        return (jax.random.normal(k, (l, fan_in, fan_out)) * std).astype(dtype)
+
+    layers = {name: init_stack(keys[i], *shapes[name])
+              for i, name in enumerate(LAYER_LINEARS)}
+    layers["input_layernorm"] = jnp.ones((l, cfg.hidden_size), dtype)
+    layers["post_attention_layernorm"] = jnp.ones((l, cfg.hidden_size), dtype)
+    params = {
+        "embed_tokens": (jax.random.normal(keys[-3], (cfg.vocab_size, cfg.hidden_size)) * 0.02).astype(dtype),
+        "layers": layers,
+        "norm": jnp.ones((cfg.hidden_size,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (jax.random.normal(keys[-2], (cfg.hidden_size, cfg.vocab_size))
+                             * 0.02).astype(dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """LlamaRMSNorm (modeling_llama_quant.py:112-129): variance in f32."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * weight
+
+
+def rope_tables(cfg: LlamaConfig, positions: jax.Array):
+    """cos/sin tables for given positions [..., T] (modeling_llama_quant.py:132-196)."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, d/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q,k: [B, T, H, D]; cos/sin: [B, T, D] (modeling_llama_quant.py:199-207)."""
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    q2 = q * cos + _rotate_half(q) * sin
+    k2 = k * cos + _rotate_half(k) * sin
+    return q2.astype(q.dtype), k2.astype(k.dtype)
+
+
+def quant_linear(x: jax.Array, w: jax.Array, cfg: LlamaConfig,
+                 train: bool = False) -> jax.Array:
+    """QuantizeLinear.forward (utils_quant.py:628-727): fake-quant weight
+    (and optionally activations), then matmul. ``w`` is [in, out]."""
+    if 2 <= cfg.w_bits < 32:
+        fq = scheme.mxq_fake_quant_ste if train else scheme.mxq_fake_quant_qat
+        w = fq(w.T, cfg.scheme).T
+    if 2 < cfg.a_bits < 32:
+        if cfg.a_symmetric:
+            x = scheme.sym_fake_quant_ste(x, cfg.a_bits, groupsize=128)
+        else:
+            x = scheme.asym_fake_quant_ste(x, cfg.a_bits, groupsize=8)
+    return x @ w
+
+
+def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
+              cache_pos=None, train=False):
+    """LlamaAttention.forward (modeling_llama_quant.py:303-392), GQA-ready.
+
+    cache: optional dict(k=[B, S, KVH, D], v=[B, S, KVH, D]) updated in place
+    at cache_pos (static-shape decode). Returns (out, new_cache).
+    """
+    b, t, h = x.shape
+    nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = quant_linear(x, layer["q_proj"], cfg, train)
+    k = quant_linear(x, layer["k_proj"], cfg, train)
+    v = quant_linear(x, layer["v_proj"], cfg, train)
+
+    # KV fake-quant before reshaping (modeling_llama_quant.py:323-329)
+    if cfg.kv_bits < 32:
+        k = scheme.sym_fake_quant_ste(k, cfg.kv_bits, groupsize=128)
+        v = scheme.sym_fake_quant_ste(v, cfg.kv_bits, groupsize=128)
+
+    q = q.reshape(b, t, nh, d)
+    k = k.reshape(b, t, nkv, d)
+    v = v.reshape(b, t, nkv, d)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if cache is not None:
+        k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                         (0, cache_pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                         (0, cache_pos, 0, 0))
+        new_cache = {"k": k, "v": v}
+    else:
+        new_cache = None
+
+    if nkv != nh:
+        rep = nh // nkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    # softmax in f32 (modeling_llama_quant.py:375)
+    qf = q.transpose(0, 2, 1, 3).astype(jnp.float32)
+    kf = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+    vf = v.transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf) / np.sqrt(d)
+    scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(vf.dtype)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", probs, vf)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh * d).astype(x.dtype)
+    return quant_linear(ctx, layer["o_proj"], cfg, train), new_cache
+
+
+def mlp(x, layer, cfg: LlamaConfig, train=False):
+    """LlamaMLP (modeling_llama_quant.py:210-237): SiLU(gate) * up -> down."""
+    g = quant_linear(x, layer["gate_proj"], cfg, train)
+    u = quant_linear(x, layer["up_proj"], cfg, train)
+    return quant_linear(jax.nn.silu(g) * u, layer["down_proj"], cfg, train)
+
+
+def decoder_layer(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
+                  cache_pos=None, train=False):
+    """LlamaDecoderLayer.forward (modeling_llama_quant.py:414-466)."""
+    h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+    attn_out, new_cache = attention(h, layer, cfg, cos, sin, mask, cache,
+                                    cache_pos, train)
+    x = x + attn_out
+    h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+    x = x + mlp(h, layer, cfg, train)
+    return x, new_cache
+
+
+def causal_mask(t: int, s: Optional[int] = None, offset: int = 0,
+                dtype=jnp.float32) -> jax.Array:
+    """[1, 1, T, S] additive causal mask (modeling_llama_quant.py:59-109).
+    ``offset`` is the absolute position of query 0 (for decode)."""
+    s = s if s is not None else t
+    qi = jnp.arange(t)[:, None] + offset
+    ki = jnp.arange(s)[None, :]
+    m = jnp.where(ki <= qi, 0.0, jnp.finfo(jnp.float32).min)
+    return m[None, None].astype(dtype)
+
+
+def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
+            caches=None, cache_pos=None, mask=None, train=False,
+            remat=False):
+    """Full model forward -> (logits [B, T, V], new_caches).
+
+    ``caches``: stacked KV caches {k: [L, B, S, KVH, D], v: ...} or None.
+    Layers run under lax.scan over the stacked layer params.
+    """
+    b, t = input_ids.shape
+    x = params["embed_tokens"][input_ids]
+    if positions is None:
+        start = 0 if cache_pos is None else cache_pos
+        positions = jnp.arange(t)[None, :] + start
+        positions = jnp.broadcast_to(positions, (b, t))
+    cos, sin = rope_tables(cfg, positions)
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    if mask is None:
+        if caches is not None:
+            s = caches["k"].shape[2]
+            kpos = jnp.arange(s)[None, :]
+            qpos = positions[:, :, None]
+            valid = kpos[:, None, :] <= qpos
+            mask = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)[:, None]
+        else:
+            mask = causal_mask(t)
+
+    layer_params = params["layers"]
+
+    def body(carry, inputs):
+        x = carry
+        layer, cache = inputs
+        fn = decoder_layer
+        if remat:
+            fn = jax.checkpoint(decoder_layer,
+                                static_argnums=(2,), static_argnames=("train",))
+        x, new_cache = fn(x, layer, cfg, cos, sin, mask, cache, cache_pos,
+                          train=train)
+        return x, new_cache
+
+    if caches is None:
+        x, _ = jax.lax.scan(lambda c, l: (body(c, (l, None))[0], None),
+                            x, layer_params)
+        new_caches = None
+    else:
+        x, new_caches = jax.lax.scan(body, x, (layer_params, caches))
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        logits = x @ params["embed_tokens"].T
+    else:
+        logits = x @ head
+    return logits.astype(jnp.float32), new_caches
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> dict:
+    l = cfg.num_hidden_layers
+    kvh, d = cfg.num_key_value_heads, cfg.head_dim
+    shape = (l, batch, max_len, kvh, d)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def cross_entropy_loss(logits, labels, ignore_index: int = -100):
+    """Shifted CE loss (modeling_llama_quant.py:887-897)."""
+    logits = logits[:, :-1]
+    labels = labels[:, 1:]
+    valid = labels != ignore_index
+    labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)

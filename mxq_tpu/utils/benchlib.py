@@ -1,0 +1,56 @@
+"""Reliable on-TPU timing over the tunneled runtime.
+
+The device tunnel has ~20-30ms request RTT, async acks that make
+block_until_ready unreliable, and apparent caching of repeated identical
+executions. Protocol that measures true device time:
+
+  * iterate the op inside ONE compiled fori_loop (dynamic trip count),
+  * vary the input between calls so nothing is served from cache,
+  * force materialization by fetching a small output slice,
+  * difference two trip counts to cancel the fixed RTT.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_op(step, x0, iters_lo=None, iters_hi=None, reps=3,
+            target_s=0.05):
+    """Median seconds per execution of ``step`` (a pure array->array fn)."""
+
+    @jax.jit
+    def many(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, x: step(x), x)
+
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return np.asarray(leaf.ravel()[:8])
+
+    if iters_hi is None:
+        # calibrate so the hi run spends ~target_s of device time
+        fetch(many(x0, 3))
+        t0 = time.perf_counter(); fetch(many(x0, 64)); t64 = time.perf_counter() - t0
+        t0 = time.perf_counter(); fetch(many(x0, 3)); t3 = time.perf_counter() - t0
+        est = max((t64 - t3) / 61, 1e-7)
+        iters_hi = max(16, min(4096, int(target_s / est)))
+        iters_lo = max(2, iters_hi // 8)
+
+    fetch(many(x0, iters_lo))
+    fetch(many(x0, iters_hi))
+    ts = []
+    for r in range(reps):
+        x = jax.tree.map(lambda a: a * (1.0 + 0.01 * (r + 1)), x0)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        fetch(many(x, iters_lo))
+        t_lo = time.perf_counter() - t0
+        x = jax.tree.map(lambda a: a * (1.0 + 0.01 * (r + 11)), x0)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        fetch(many(x, iters_hi))
+        t_hi = time.perf_counter() - t0
+        ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
+    return float(np.median(ts))

@@ -1,0 +1,190 @@
+"""Experiment harness: time MXQ dequant-matmul kernel variants on the real TPU
+to find the cheapest unpack structure. Informs ops/mxq_matmul.py."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mxq_tpu import packfmt
+from mxq_tpu.config import MXQConfig
+from mxq_tpu.packfmt import NB_TILE, SCALE_CODE_BITS
+from mxq_tpu.utils.benchlib import time_op
+
+CFG = MXQConfig()
+W2_ROWS, W4_ROWS = 48, 32
+K2T, K4T = 768, 256
+
+
+def make_call(kernel, b, nbp, n, block_n=256, extra_in_specs=(), extra_inputs=()):
+    n_kt = nbp // NB_TILE
+    grid = (1, n // block_n, n_kt)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, K2T), lambda bi, ni, ki: (0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, K4T), lambda bi, ni, ki: (0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W2_ROWS, block_n), lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W4_ROWS, block_n), lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE, block_n), lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE, block_n), lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE, block_n), lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda bi, ni, ki: (0, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda bi, ni, ki: (0, ni), memory_space=pltpu.VMEM),
+        ] + list(extra_in_specs),
+        out_specs=pl.BlockSpec((b, block_n), lambda bi, ni, ki: (0, ni), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, block_n), jnp.float32)],
+    )
+
+
+def unpack2(w2, nl):
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (W2_ROWS, 16, nl), 1) * 2
+    return jax.lax.shift_right_logical(w2[:, None, :], shifts) & 0x3
+
+
+def meta_fields(meta, nl):
+    gsh = jax.lax.broadcasted_iota(jnp.int32, (NB_TILE, 3, nl), 1)
+    zc = jax.lax.shift_right_logical(meta[:, None, :], gsh * 2) & 0x3
+    sc = (jax.lax.shift_right_logical(meta[:, None, :], 6 + gsh * SCALE_CODE_BITS)
+          & 0xFF)
+    return zc, sc
+
+
+# A: current production kernel (baseline copy)
+def kernel_a(x2, x4, w2r, w4r, meta, qs, qm, s4, z4, out, acc):
+    kt = pl.program_id(2)
+    @pl.when(kt == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    nl = w2r.shape[1]
+    c2 = unpack2(w2r[:], nl).reshape(K2T, nl)
+    zc, sc = meta_fields(meta[:], nl)
+    s_eff = qs[:].astype(jnp.float32)[:, None, :] * sc.astype(jnp.float32) + qm[:].astype(jnp.float32)[:, None, :]
+    s_exp = jnp.broadcast_to(s_eff.reshape(W2_ROWS, 1, nl), (W2_ROWS, 16, nl)).reshape(K2T, nl)
+    z_exp = jnp.broadcast_to(zc.reshape(W2_ROWS, 1, nl), (W2_ROWS, 16, nl)).reshape(K2T, nl)
+    w2dq = (s_exp * (c2 - z_exp).astype(jnp.float32)).astype(jnp.bfloat16)
+    acc[:] += jnp.dot(x2[:], w2dq, preferred_element_type=jnp.float32)
+    shifts4 = jax.lax.broadcasted_iota(jnp.int32, (W4_ROWS, 8, nl), 1) * 4
+    c4 = (jax.lax.shift_right_logical(w4r[:][:, None, :], shifts4) & 0xF).reshape(K4T, nl).astype(jnp.float32)
+    w4dq = (s4[:] * (c4 - z4[:])).astype(jnp.bfloat16)
+    acc[:] += jnp.dot(x4[:], w4dq, preferred_element_type=jnp.float32)
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _(): out[:] = acc[:]
+
+
+# B: 3D broadcast form — never materialize expanded scale/zero planes
+def kernel_b(x2, x4, w2r, w4r, meta, qs, qm, s4, z4, out, acc):
+    kt = pl.program_id(2)
+    @pl.when(kt == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    nl = w2r.shape[1]
+    c2 = unpack2(w2r[:], nl)                       # [48,16,nl] int32
+    zc, sc = meta_fields(meta[:], nl)              # [16,3,nl]
+    s_eff = (qs[:].astype(jnp.float32)[:, None, :] * sc.astype(jnp.float32)
+             + qm[:].astype(jnp.float32)[:, None, :]).reshape(W2_ROWS, 1, nl)
+    z3 = zc.reshape(W2_ROWS, 1, nl)
+    w2dq = (s_eff * (c2 - z3).astype(jnp.float32)).astype(jnp.bfloat16).reshape(K2T, nl)
+    acc[:] += jnp.dot(x2[:], w2dq, preferred_element_type=jnp.float32)
+    shifts4 = jax.lax.broadcasted_iota(jnp.int32, (W4_ROWS, 8, nl), 1) * 4
+    c4 = (jax.lax.shift_right_logical(w4r[:][:, None, :], shifts4) & 0xF).reshape(K4T, nl).astype(jnp.float32)
+    w4dq = (s4[:] * (c4 - z4[:])).astype(jnp.bfloat16)
+    acc[:] += jnp.dot(x4[:], w4dq, preferred_element_type=jnp.float32)
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _(): out[:] = acc[:]
+
+
+# C: zero-correction via group-sum matmul: y = x2 @ (s*c) - xg @ (s*z)
+def kernel_c(x2, x4, w2r, w4r, meta, qs, qm, s4, z4, out, acc):
+    kt = pl.program_id(2)
+    @pl.when(kt == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    nl = w2r.shape[1]
+    b = x2.shape[0]
+    c2 = unpack2(w2r[:], nl)                       # [48,16,nl]
+    zc, sc = meta_fields(meta[:], nl)
+    s_eff = (qs[:].astype(jnp.float32)[:, None, :] * sc.astype(jnp.float32)
+             + qm[:].astype(jnp.float32)[:, None, :]).reshape(W2_ROWS, 1, nl)
+    w2u = (s_eff * c2.astype(jnp.float32)).astype(jnp.bfloat16).reshape(K2T, nl)
+    acc[:] += jnp.dot(x2[:], w2u, preferred_element_type=jnp.float32)
+    sz = (s_eff.reshape(W2_ROWS, nl) * zc.reshape(W2_ROWS, nl).astype(jnp.float32)).astype(jnp.bfloat16)
+    xg = jnp.sum(x2[:].reshape(b, W2_ROWS, 16).astype(jnp.float32), axis=2).astype(jnp.bfloat16)
+    acc[:] += -jnp.dot(xg, sz, preferred_element_type=jnp.float32)
+    shifts4 = jax.lax.broadcasted_iota(jnp.int32, (W4_ROWS, 8, nl), 1) * 4
+    c4 = (jax.lax.shift_right_logical(w4r[:][:, None, :], shifts4) & 0xF).reshape(K4T, nl).astype(jnp.float32)
+    w4u = (s4[:] * c4).astype(jnp.bfloat16)
+    acc[:] += jnp.dot(x4[:], w4u, preferred_element_type=jnp.float32)
+    x4s = jnp.sum(x4[:].astype(jnp.float32), axis=1, keepdims=True)
+    acc[:] += -(x4s * (s4[:] * z4[:]))
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _(): out[:] = acc[:]
+
+
+# D: dequant only, no dots (upper bound: what does the matmul cost?)
+def kernel_d(x2, x4, w2r, w4r, meta, qs, qm, s4, z4, out, acc):
+    kt = pl.program_id(2)
+    @pl.when(kt == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    nl = w2r.shape[1]
+    c2 = unpack2(w2r[:], nl)
+    zc, sc = meta_fields(meta[:], nl)
+    s_eff = (qs[:].astype(jnp.float32)[:, None, :] * sc.astype(jnp.float32)
+             + qm[:].astype(jnp.float32)[:, None, :]).reshape(W2_ROWS, 1, nl)
+    w2dq = (s_eff * (c2 - zc.reshape(W2_ROWS, 1, nl)).astype(jnp.float32)).astype(jnp.bfloat16).reshape(K2T, nl)
+    shifts4 = jax.lax.broadcasted_iota(jnp.int32, (W4_ROWS, 8, nl), 1) * 4
+    c4 = (jax.lax.shift_right_logical(w4r[:][:, None, :], shifts4) & 0xF).reshape(K4T, nl).astype(jnp.float32)
+    w4dq = (s4[:] * (c4 - z4[:])).astype(jnp.bfloat16)
+    acc[:] += (jnp.sum(w2dq[:1, :]) + jnp.sum(w4dq[:1, :]))[None, None]
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _(): out[:] = acc[:]
+
+
+# E: DMA only (memory floor)
+def kernel_e(x2, x4, w2r, w4r, meta, qs, qm, s4, z4, out, acc):
+    kt = pl.program_id(2)
+    @pl.when(kt == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    acc[:] += (w2r[0, 0] + w4r[0, 0] + meta[0, 0]).astype(jnp.float32)[None, None] + qs[0, 0].astype(jnp.float32)
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _(): out[:] = acc[:]
+
+
+def main():
+    o, k, b = 4096, 4096, 8
+    w = jax.random.normal(jax.random.PRNGKey(0), (o, k), jnp.float32)
+    p = jax.device_put(packfmt.quantize_pack(w, CFG))
+    pb = (p.w2.size + p.w4.size + p.meta2.size) * 4 + (p.qscale.size + p.qmin.size) * 2
+    nbp, n = p.meta2.shape
+    x0 = jnp.ones((b, k), jnp.bfloat16)
+    wdq = packfmt.unpack_dequant(p, CFG).astype(jnp.bfloat16)
+    y_ref = np.asarray(x0 @ wdq, dtype=np.float32)
+
+    for name, kern in [("A_current", kernel_a), ("B_3dbcast", kernel_b),
+                       ("C_zerocorr", kernel_c), ("D_nodot", kernel_d),
+                       ("E_dmaonly", kernel_e)]:
+        call = make_call(kern, b, nbp, n)
+
+        def step(x):
+            x2, x4 = packfmt.pad_inputs_split(x, p, CFG)
+            y = call(x2, x4, p.w2, p.w4, p.meta2, p.qscale, p.qmin,
+                     p.smeta4[0:1], p.smeta4[1:2])
+            return (y[:, :k] * 1e-6).astype(jnp.bfloat16)
+
+        try:
+            y = jax.jit(lambda x: call(*packfmt.pad_inputs_split(x, p, CFG),
+                                       p.w2, p.w4, p.meta2, p.qscale, p.qmin,
+                                       p.smeta4[0:1], p.smeta4[1:2]))(x0)
+            ok = np.allclose(np.asarray(y), y_ref, rtol=2e-2, atol=2e-1) if name in ("A_current", "B_3dbcast", "C_zerocorr") else True
+            t = time_op(step, x0)
+            print(f"{name:12s}: {t*1e6:7.1f}us  ({pb/t/1e9:6.1f} GB/s, {100*pb/t/1e9/819:5.1f}% peak)  correct={ok}")
+        except Exception as e:
+            print(f"{name:12s}: FAIL {str(e).splitlines()[0][:160]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,8 @@
 """Probe which vectorization patterns Mosaic supports on this TPU, to ground
 the packed-format/kernel layout decisions. Run directly on the real chip."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import functools
 
