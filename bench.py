@@ -1,0 +1,132 @@
+"""Driver benchmark: Llama-2-7B-shaped MXQ packed decode throughput on one TPU
+chip vs a bf16 dense baseline.
+
+Prints ONE JSON line:
+  {"metric": "decode_tokens_per_sec_chip_7b_mxq", "value": N,
+   "unit": "tok/s", "vs_baseline": speedup_vs_bf16}
+
+The bf16 baseline is measured at reduced depth (HBM cannot hold 7B bf16 +
+cache alongside) and extrapolated linearly in layer count, which is sound for
+decode (per-layer cost is depth-independent).
+"""
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mxq_tpu.models import llama
+from mxq_tpu import packfmt
+from mxq_tpu.packfmt import PackedMXQLinear, NB_TILE, N_LANE
+from mxq_tpu.utils.benchlib import time_op
+
+BATCH = 8
+CACHE_LEN = 512
+
+
+def random_packed_linear(key, k, o):
+    """Random packed weights directly (no quantization pass needed to bench)."""
+    nbp = -(-(k // 64) // NB_TILE) * NB_TILE
+    n = -(-o // N_LANE) * N_LANE
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    maxi = jnp.iinfo(jnp.int32)
+    return PackedMXQLinear(
+        w2=jax.random.randint(k1, (nbp * 3, n), maxi.min, maxi.max, jnp.int32),
+        w4=jax.random.randint(k2, (nbp * 2, n), maxi.min, maxi.max, jnp.int32),
+        meta2=jax.random.randint(k3, (nbp, n), 0, 1 << 30, jnp.int32),
+        qscale=(jnp.abs(jax.random.normal(k4, (nbp, n))) * 1e-4).astype(jnp.bfloat16),
+        qmin=(jnp.abs(jax.random.normal(k5, (nbp, n))) * 1e-3).astype(jnp.bfloat16),
+        smeta4=jnp.concatenate([jnp.full((1, n), 1e-2, jnp.float32),
+                                jnp.full((1, n), 7.0, jnp.float32),
+                                jnp.zeros((6, n), jnp.float32)]),
+        in_features=k, out_features=o)
+
+
+def packed_params(cfg, key):
+    shapes = llama._linear_shapes(cfg)
+    keys = jax.random.split(key, len(llama.LAYER_LINEARS) + 2)
+    layers = {}
+    for i, name in enumerate(llama.LAYER_LINEARS):
+        kin, out = shapes[name]
+        mk = jax.random.split(keys[i], cfg.num_hidden_layers)
+        layers[name] = jax.vmap(lambda kk: random_packed_linear(kk, kin, out))(mk)
+    h = cfg.hidden_size
+    layers["input_layernorm"] = jnp.ones((cfg.num_hidden_layers, h), jnp.bfloat16)
+    layers["post_attention_layernorm"] = jnp.ones((cfg.num_hidden_layers, h), jnp.bfloat16)
+    return {
+        "embed_tokens": (jax.random.normal(keys[-2], (cfg.vocab_size, h)) * 0.02).astype(jnp.bfloat16),
+        "layers": layers,
+        "norm": jnp.ones((h,), jnp.bfloat16),
+        "lm_head": (jax.random.normal(keys[-1], (h, cfg.vocab_size)) * 0.02).astype(jnp.bfloat16),
+    }
+
+
+def decode_step_fn(cfg):
+    def step(carry):
+        logits, caches = llama.forward(
+            carry["params"], carry["ids"], cfg,
+            caches=carry["caches"], cache_pos=carry["pos"])
+        ids = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        pos = (carry["pos"] + 1) % (CACHE_LEN - 1)
+        return dict(params=carry["params"], ids=ids, caches=caches, pos=pos)
+    return step
+
+
+def bench_decode(cfg, params):
+    carry = dict(params=params,
+                 ids=jnp.zeros((BATCH, 1), jnp.int32),
+                 caches=llama.init_cache(cfg, BATCH, CACHE_LEN),
+                 pos=jnp.int32(0))
+    t = time_op(decode_step_fn(cfg), carry, reps=3)
+    return t
+
+
+def main():
+    try:
+        key = jax.random.PRNGKey(0)
+
+        # bf16 dense baseline at reduced depth, extrapolated to 32 layers.
+        t_dense = {}
+        for nl in (8, 16):
+            cfg = llama.LlamaConfig.llama2_7b(num_hidden_layers=nl)
+            params = llama.init_params(cfg, key, dtype=jnp.bfloat16)
+            t_dense[nl] = bench_decode(cfg, params)
+            del params
+        per_layer = (t_dense[16] - t_dense[8]) / 8.0
+        t_bf16_32 = t_dense[16] + 16 * per_layer
+
+        cfg = llama.LlamaConfig.llama2_7b()
+        params = packed_params(cfg, key)
+        t_mxq = bench_decode(cfg, params)
+
+        toks = BATCH / t_mxq
+        speedup = t_bf16_32 / t_mxq
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_chip_7b_mxq",
+            "value": round(toks, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(speedup, 3),
+            "detail": {
+                "batch": BATCH,
+                "t_step_mxq_ms": round(t_mxq * 1e3, 3),
+                "t_step_bf16_32L_extrapolated_ms": round(t_bf16_32 * 1e3, 3),
+                "bf16_depths_measured": {str(k): round(v * 1e3, 3)
+                                         for k, v in t_dense.items()},
+            },
+        }))
+    except Exception as e:  # noqa: BLE001 — bench must always emit a JSON line
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_chip_7b_mxq",
+            "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:400],
+        }))
+        raise
+
+
+if __name__ == "__main__":
+    main()

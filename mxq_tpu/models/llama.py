@@ -31,6 +31,7 @@ import numpy as np
 
 from mxq_tpu import scheme
 from mxq_tpu.config import MXQConfig, DEFAULT_SCHEME
+from mxq_tpu.packfmt import PackedMXQLinear, quantize_pack
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,19 +165,37 @@ def apply_rope(q, k, cos, sin):
     return q2.astype(q.dtype), k2.astype(k.dtype)
 
 
-def quant_linear(x: jax.Array, w: jax.Array, cfg: LlamaConfig,
+def quant_linear(x: jax.Array, w, cfg: LlamaConfig,
                  train: bool = False) -> jax.Array:
     """QuantizeLinear.forward (utils_quant.py:628-727): fake-quant weight
-    (and optionally activations), then matmul. ``w`` is [in, out]."""
-    if 2 <= cfg.w_bits < 32:
-        fq = scheme.mxq_fake_quant_ste if train else scheme.mxq_fake_quant_qat
-        w = fq(w.T, cfg.scheme).T
+    (and optionally activations), then matmul. ``w`` is [in, out] dense, or a
+    PackedMXQLinear for the packed serving path (the capability the
+    reference's cuda_kernel never wired into its model)."""
     if 2 < cfg.a_bits < 32:
         if cfg.a_symmetric:
             x = scheme.sym_fake_quant_ste(x, cfg.a_bits, groupsize=128)
         else:
             x = scheme.asym_fake_quant_ste(x, cfg.a_bits, groupsize=8)
+    if isinstance(w, PackedMXQLinear):
+        from mxq_tpu.ops import mxq_matmul as _mm
+        return _mm.mxq_matmul(x, w, cfg.scheme)
+    if 2 <= cfg.w_bits < 32:
+        fq = scheme.mxq_fake_quant_ste if train else scheme.mxq_fake_quant_qat
+        w = fq(w.T, cfg.scheme).T
     return x @ w
+
+
+def quantize_params_packed(params: dict, cfg: LlamaConfig) -> dict:
+    """Convert the 7 per-layer projection weights to stacked PackedMXQLinear
+    pytrees (everything else — embeddings, norms, head — stays dense, like the
+    reference which quantizes only the projections, utils_quant.py:601)."""
+    pack = jax.vmap(lambda w: quantize_pack(w.T, cfg.scheme))
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in LAYER_LINEARS:
+        layers[name] = pack(layers[name])
+    out["layers"] = layers
+    return out
 
 
 def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
@@ -288,16 +307,15 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
 
     layer_params = params["layers"]
 
+    def _layer_fn(x, layer, cache):
+        return decoder_layer(x, layer, cfg, cos, sin, mask, cache, cache_pos,
+                             train=train)
+
+    fn = jax.checkpoint(_layer_fn) if remat else _layer_fn
+
     def body(carry, inputs):
-        x = carry
         layer, cache = inputs
-        fn = decoder_layer
-        if remat:
-            fn = jax.checkpoint(decoder_layer,
-                                static_argnums=(2,), static_argnames=("train",))
-        x, new_cache = fn(x, layer, cfg, cos, sin, mask, cache, cache_pos,
-                          train=train)
-        return x, new_cache
+        return fn(carry, layer, cache)
 
     if caches is None:
         x, _ = jax.lax.scan(lambda c, l: (body(c, (l, None))[0], None),

@@ -40,14 +40,21 @@ def time_op(step, x0, iters_lo=None, iters_hi=None, reps=3,
 
     fetch(many(x0, iters_lo))
     fetch(many(x0, iters_hi))
+    def perturb(x0, eps):
+        # vary float leaves so the relay can't serve cached results;
+        # leave integer leaves (token ids, positions) untouched
+        return jax.tree.map(
+            lambda a: a * (1.0 + eps) if jnp.issubdtype(a.dtype, jnp.floating)
+            else a, x0)
+
     ts = []
     for r in range(reps):
-        x = jax.tree.map(lambda a: a * (1.0 + 0.01 * (r + 1)), x0)
+        x = perturb(x0, 0.01 * (r + 1))
         jax.block_until_ready(x)
         t0 = time.perf_counter()
         fetch(many(x, iters_lo))
         t_lo = time.perf_counter() - t0
-        x = jax.tree.map(lambda a: a * (1.0 + 0.01 * (r + 11)), x0)
+        x = perturb(x0, 0.01 * (r + 11))
         jax.block_until_ready(x)
         t0 = time.perf_counter()
         fetch(many(x, iters_hi))

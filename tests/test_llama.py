@@ -117,3 +117,24 @@ class TestLoss:
         labels = jnp.array([[1, 2, -100, 3]])
         l = llama.cross_entropy_loss(logits, labels)
         np.testing.assert_allclose(float(l), np.log(8), rtol=1e-5)
+
+
+class TestPackedModel:
+    def test_packed_forward_matches_fake_quant(self):
+        """Packed serving path ~= packed fake-quant dense path (bf16 tolerance)."""
+        from mxq_tpu import packfmt
+        cfg = llama.LlamaConfig.tiny(num_hidden_layers=1)
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        ids = jnp.arange(6).reshape(1, 6)
+        packed = llama.quantize_params_packed(params, cfg)
+        lp, _ = llama.forward(packed, ids, cfg)
+        # dense reference: replace each weight by its packed-dequant value
+        dense = jax.tree_util.tree_map(lambda x: x, params)
+        for name in llama.LAYER_LINEARS:
+            w = params["layers"][name]
+            wdq = jax.vmap(lambda wi: packfmt.fake_quant_packed(wi.T, cfg.scheme).T)(w)
+            dense["layers"][name] = wdq
+        ld, _ = llama.forward(dense, ids, cfg)
+        pl_ = np.asarray(lp)
+        dl = np.asarray(ld)
+        assert np.max(np.abs(pl_ - dl)) / (np.abs(dl).max() + 1e-9) < 0.03
