@@ -26,7 +26,7 @@ from mxq_tpu.packfmt import PackedMXQLinear, NB_TILE, N_LANE
 from mxq_tpu.utils.benchlib import time_op
 
 BATCH = 8
-CACHE_LEN = 512
+CACHE_LEN = 256
 
 
 def random_packed_linear(key, k, o):
@@ -66,23 +66,25 @@ def packed_params(cfg, key):
     }
 
 
-def decode_step_fn(cfg):
+def decode_step_fn(cfg, params):
+    # params are closed over (compiled-in constants): time_op must never
+    # perturb or copy them — only the carry (ids/caches/pos) cycles.
     def step(carry):
         logits, caches = llama.forward(
-            carry["params"], carry["ids"], cfg,
+            params, carry["ids"], cfg,
             caches=carry["caches"], cache_pos=carry["pos"])
         ids = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
         pos = (carry["pos"] + 1) % (CACHE_LEN - 1)
-        return dict(params=carry["params"], ids=ids, caches=caches, pos=pos)
+        return dict(ids=ids, caches=caches, pos=pos)
     return step
 
 
 def bench_decode(cfg, params):
-    carry = dict(params=params,
-                 ids=jnp.zeros((BATCH, 1), jnp.int32),
+    carry = dict(ids=jnp.zeros((BATCH, 1), jnp.int32),
                  caches=llama.init_cache(cfg, BATCH, CACHE_LEN),
                  pos=jnp.int32(0))
-    t = time_op(decode_step_fn(cfg), carry, reps=3)
+    t = time_op(decode_step_fn(cfg, params), carry, reps=3)
+    del carry
     return t
 
 
@@ -97,6 +99,7 @@ def main():
             params = llama.init_params(cfg, key, dtype=jnp.bfloat16)
             t_dense[nl] = bench_decode(cfg, params)
             del params
+            jax.clear_caches()
         per_layer = (t_dense[16] - t_dense[8]) / 8.0
         t_bf16_32 = t_dense[16] + 16 * per_layer
 
