@@ -222,7 +222,14 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
     v = v.reshape(b, t, nkv, d)
     q, k = apply_rope(q, k, cos, sin)
 
-    if cache is not None:
+    if cache is not None and "k_codes" in cache:
+        # really-quantized int8 KV cache (serving path; see serving/kvcache.py)
+        from mxq_tpu.serving import kvcache as _kvc
+        group = cache["k_scale"].shape[-1] and (
+            cache["k_codes"].shape[-1] // cache["k_scale"].shape[-1])
+        new_cache = _kvc.cache_update_layer(cache, k, v, cache_pos, group)
+        k, v = _kvc.cache_read_layer(new_cache, group, dtype=x.dtype)
+    elif cache is not None:
         k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
                                          (0, cache_pos, 0, 0))
         v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
@@ -297,7 +304,8 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
     sin = sin.astype(x.dtype)
     if mask is None:
         if caches is not None:
-            s = caches["k"].shape[2]
+            kbuf = caches.get("k", caches.get("k_codes"))
+            s = kbuf.shape[2]
             kpos = jnp.arange(s)[None, :]
             qpos = positions[:, :, None]
             valid = kpos[:, None, :] <= qpos
