@@ -66,10 +66,8 @@ def packed_params(cfg, key):
     }
 
 
-def decode_step_fn(cfg, params):
-    # params are closed over (compiled-in constants): time_op must never
-    # perturb or copy them — only the carry (ids/caches/pos) cycles.
-    def step(carry):
+def decode_step_fn(cfg):
+    def step(params, carry):
         logits, caches = llama.forward(
             params, carry["ids"], cfg,
             caches=carry["caches"], cache_pos=carry["pos"])
@@ -83,7 +81,7 @@ def bench_decode(cfg, params):
     carry = dict(ids=jnp.zeros((BATCH, 1), jnp.int32),
                  caches=llama.init_cache(cfg, BATCH, CACHE_LEN),
                  pos=jnp.int32(0))
-    t = time_op(decode_step_fn(cfg, params), carry, reps=3)
+    t = time_op(decode_step_fn(cfg), carry, reps=3, const=params)
     del carry
     return t
 

@@ -18,12 +18,20 @@ import numpy as np
 
 
 def time_op(step, x0, iters_lo=None, iters_hi=None, reps=3,
-            target_s=0.05):
-    """Median seconds per execution of ``step`` (a pure array->array fn)."""
+            target_s=0.05, const=None):
+    """Median seconds per execution of ``step`` (a pure array->array fn).
+
+    ``const``: a pytree of large arrays (e.g. model params) passed through as
+    a jit ARGUMENT, never perturbed or copied. Do NOT close big arrays over
+    ``step`` — jit would embed them as compile-time constants (catastrophic
+    compile times). If const is not None, step is called as step(const, x).
+    """
 
     @jax.jit
-    def many(x, n):
-        return jax.lax.fori_loop(0, n, lambda i, x: step(x), x)
+    def many(c, x, n):
+        body = (lambda i, x: step(c, x)) if c is not None else (
+            lambda i, x: step(x))
+        return jax.lax.fori_loop(0, n, body, x)
 
     def fetch(out):
         leaf = jax.tree_util.tree_leaves(out)[0]
@@ -31,15 +39,15 @@ def time_op(step, x0, iters_lo=None, iters_hi=None, reps=3,
 
     if iters_hi is None:
         # calibrate so the hi run spends ~target_s of device time
-        fetch(many(x0, 3))
-        t0 = time.perf_counter(); fetch(many(x0, 64)); t64 = time.perf_counter() - t0
-        t0 = time.perf_counter(); fetch(many(x0, 3)); t3 = time.perf_counter() - t0
+        fetch(many(const, x0, 3))
+        t0 = time.perf_counter(); fetch(many(const, x0, 64)); t64 = time.perf_counter() - t0
+        t0 = time.perf_counter(); fetch(many(const, x0, 3)); t3 = time.perf_counter() - t0
         est = max((t64 - t3) / 61, 1e-7)
         iters_hi = max(16, min(4096, int(target_s / est)))
         iters_lo = max(2, iters_hi // 8)
 
-    fetch(many(x0, iters_lo))
-    fetch(many(x0, iters_hi))
+    fetch(many(const, x0, iters_lo))
+    fetch(many(const, x0, iters_hi))
     def perturb(x0, eps):
         # vary float leaves so the relay can't serve cached results;
         # leave integer leaves (token ids, positions) untouched
@@ -52,12 +60,12 @@ def time_op(step, x0, iters_lo=None, iters_hi=None, reps=3,
         x = perturb(x0, 0.01 * (r + 1))
         jax.block_until_ready(x)
         t0 = time.perf_counter()
-        fetch(many(x, iters_lo))
+        fetch(many(const, x, iters_lo))
         t_lo = time.perf_counter() - t0
         x = perturb(x0, 0.01 * (r + 11))
         jax.block_until_ready(x)
         t0 = time.perf_counter()
-        fetch(many(x, iters_hi))
+        fetch(many(const, x, iters_hi))
         t_hi = time.perf_counter() - t0
         ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
     return float(np.median(ts))
