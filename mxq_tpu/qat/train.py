@@ -40,8 +40,11 @@ class TrainConfig:
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, tc.learning_rate, max(tc.warmup_steps, 1), tc.total_steps)
+    if tc.warmup_steps > 0:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, tc.learning_rate, tc.warmup_steps, tc.total_steps)
+    else:
+        sched = optax.cosine_decay_schedule(tc.learning_rate, tc.total_steps)
     return optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
         optax.adamw(sched, weight_decay=tc.weight_decay),

@@ -1,0 +1,74 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded forward
+parity, sharded KD train step, packed-weight sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mxq_tpu.models import llama
+from mxq_tpu.parallel import sharding
+from mxq_tpu.qat import train
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+CFG = llama.LlamaConfig.tiny()
+
+
+def test_sharded_forward_matches_single_device():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    ids = jnp.arange(32).reshape(4, 8)
+    ref, _ = llama.forward(params, ids, CFG)
+
+    mesh = sharding.make_mesh(dp=2, fsdp=2, tp=2)
+    sp = sharding.shard_params(params, mesh)
+    ids_s = sharding.shard_batch(ids, mesh)
+    out, _ = jax.jit(lambda p, i: llama.forward(p, i, CFG))(sp, ids_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_specs_cover_all_params():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    specs = sharding.param_specs(params)
+    flat_p = jax.tree_util.tree_leaves(params)
+    flat_s = jax.tree_util.tree_leaves(specs,
+                                       is_leaf=lambda x: isinstance(
+                                           x, jax.sharding.PartitionSpec))
+    assert len(flat_p) == len(flat_s)
+
+
+def test_sharded_train_step_runs_and_is_finite():
+    cfg = llama.LlamaConfig.tiny(w_bits=2)
+    mesh = sharding.make_mesh(dp=1, fsdp=2, tp=4)
+    params = sharding.shard_params(
+        llama.init_params(cfg, jax.random.PRNGKey(0)), mesh)
+    teacher = sharding.shard_params(
+        llama.init_params(CFG, jax.random.PRNGKey(1)), mesh)
+    tc = train.TrainConfig(total_steps=4, remat=True)
+    opt = train.make_optimizer(tc)
+    opt_state = jax.jit(opt.init)(params)
+    step = jax.jit(train.make_train_step(cfg, tc, opt))
+    batch = sharding.shard_batch(
+        {"input_ids": jnp.ones((4, 16), jnp.int32)}, mesh)
+    p2, opt_state, metrics = step(params, teacher, opt_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually changed
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                               params, p2)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_packed_params_shardable():
+    from mxq_tpu import packfmt
+    cfg = llama.LlamaConfig.tiny(num_hidden_layers=1)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    packed = llama.quantize_params_packed(params, cfg)
+    mesh = sharding.make_mesh(dp=1, fsdp=2, tp=2)
+    sp = sharding.shard_params(packed, mesh, packed=True)
+    ids = jnp.arange(8).reshape(1, 8)
+    out, _ = jax.jit(lambda p, i: llama.forward(p, i, cfg))(sp, ids)
+    ref, _ = llama.forward(packed, ids, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
