@@ -1,0 +1,109 @@
+"""QAT training loop with checkpointing — the Trainer-loop analogue of
+LLM-QAT/train.py:118-151 on orbax instead of HF Trainer checkpoints
+(run_train.sh:28-31: save every N steps, keep last; final save drops the
+teacher, utils/utils.py:39-49 — here the teacher is simply never part of the
+student pytree, so nothing needs stripping)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mxq_tpu.models import llama
+from mxq_tpu.parallel import sharding
+from mxq_tpu.qat import train as train_mod
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    output_dir: str = "out/qat"
+    save_steps: int = 1000           # run_train.sh:29
+    save_total_limit: int = 1        # run_train.sh:31
+    log_steps: int = 10
+    max_steps: Optional[int] = None
+
+
+def _ckpt_mgr(path: str, limit: int):
+    import orbax.checkpoint as ocp
+    return ocp.CheckpointManager(
+        os.path.abspath(path),
+        options=ocp.CheckpointManagerOptions(max_to_keep=limit,
+                                             create=True))
+
+
+def save_checkpoint(mgr, step: int, params, opt_state) -> None:
+    import orbax.checkpoint as ocp
+    mgr.save(step, args=ocp.args.Composite(
+        params=ocp.args.StandardSave(params),
+        opt_state=ocp.args.StandardSave(opt_state)))
+    mgr.wait_until_finished()
+
+
+def restore_checkpoint(mgr, params_like, opt_state_like):
+    import orbax.checkpoint as ocp
+    step = mgr.latest_step()
+    if step is None:
+        return None, None, 0
+    restored = mgr.restore(step, args=ocp.args.Composite(
+        params=ocp.args.StandardRestore(params_like),
+        opt_state=ocp.args.StandardRestore(opt_state_like)))
+    return restored["params"], restored["opt_state"], step + 1
+
+
+def run_training(params, teacher_params, cfg: llama.LlamaConfig,
+                 tc: train_mod.TrainConfig, lc: LoopConfig,
+                 data_iter: Iterator[dict],
+                 mesh=None, resume: bool = True,
+                 log=print) -> dict:
+    """Train until data or max_steps runs out; returns final params.
+
+    Elastic recovery: on restart with the same output_dir the latest
+    checkpoint is restored and training resumes at the saved step (crash =
+    rerun was the reference's only story, SURVEY.md §5)."""
+    opt = train_mod.make_optimizer(tc)
+    if mesh is not None:
+        params = sharding.shard_params(params, mesh)
+        if teacher_params is not None:
+            teacher_params = sharding.shard_params(teacher_params, mesh)
+    opt_state = jax.jit(opt.init)(params)
+
+    mgr = _ckpt_mgr(lc.output_dir, lc.save_total_limit)
+    start_step = 0
+    if resume:
+        p, o, start_step = restore_checkpoint(mgr, params, opt_state)
+        if p is not None:
+            params, opt_state = p, o
+            log(f"resumed from step {start_step}")
+
+    step_fn = jax.jit(train_mod.make_train_step(cfg, tc, opt),
+                      donate_argnums=(0, 2))
+
+    losses = []
+    t0 = time.time()
+    step = start_step
+    for step, batch in enumerate(data_iter, start=start_step):
+        if lc.max_steps is not None and step >= lc.max_steps:
+            break
+        if mesh is not None:
+            batch = sharding.shard_batch(batch, mesh)
+        params, opt_state, metrics = step_fn(params, teacher_params,
+                                             opt_state, batch)
+        if (step + 1) % lc.log_steps == 0:
+            loss = float(metrics["loss"])
+            losses.append(loss)
+            log(f"step {step + 1}: loss={loss:.4f} "
+                f"gnorm={float(metrics['grad_norm']):.3f} "
+                f"({(time.time() - t0) / lc.log_steps:.2f}s/step)")
+            t0 = time.time()
+        if (step + 1) % lc.save_steps == 0:
+            save_checkpoint(mgr, step + 1, params, opt_state)
+
+    save_checkpoint(mgr, step + 1, params, opt_state)
+    return {"params": params, "opt_state": opt_state, "last_step": step + 1,
+            "losses": losses}
