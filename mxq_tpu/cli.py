@@ -1,0 +1,274 @@
+"""Command-line drivers: one CLI, subcommands mirroring the reference's
+entry points.
+
+  ptq            <- mxq_quant/main.py --prune_method mxq (main.py:30-41,73-74)
+  eval-ppl       <- wikitext ppl eval (main.py:83-86, lib/eval.py)
+  eval-tasks     <- mxq_quant/lmeval.py (winogrande/piqa/hellaswag/arc_easy)
+  train          <- LLM-QAT/run_train.sh + train.py (w_bits a_bits kv_bits)
+  generate-data  <- LLM-QAT/generate_data.py (+merge via --merge)
+  serve          <- no reference counterpart (continuous-batching engine demo)
+
+Usage: python -m mxq_tpu.cli <subcommand> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_model(args, w_bits=32, a_bits=32, kv_bits=32):
+    import jax.numpy as jnp
+    from mxq_tpu.models import hf_loader, llama
+
+    dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[args.dtype]
+    if args.model and os.path.isdir(args.model):
+        cfg, params = hf_loader.load_params(args.model, dtype=dtype)
+        cfg = dataclasses.replace(cfg, w_bits=w_bits, a_bits=a_bits,
+                                  kv_bits=kv_bits)
+    else:
+        import jax
+        preset = getattr(llama.LlamaConfig, args.preset)
+        cfg = preset(w_bits=w_bits, a_bits=a_bits, kv_bits=kv_bits)
+        params = llama.init_params(cfg, jax.random.PRNGKey(args.seed), dtype)
+    return cfg, params
+
+
+def _tokenizer(args):
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        return AutoTokenizer.from_pretrained(args.tokenizer)
+    return None
+
+
+def cmd_ptq(args):
+    import jax.numpy as jnp
+    from mxq_tpu.ptq import calibrate, data as ptq_data
+    from mxq_tpu.eval import ppl as ppl_eval
+    from mxq_tpu.models import llama
+
+    cfg, params = _load_model(args)
+    tok = _tokenizer(args)
+    ids = jnp.asarray(ptq_data.get_calibration_batch(
+        args.nsamples, args.seqlen, tokenizer=tok,
+        vocab_size=cfg.vocab_size, seed=args.seed))
+    print(f"calibrating {cfg.num_hidden_layers} layers on "
+          f"{args.nsamples}x{args.seqlen} tokens (mode={args.mode})")
+    qparams, packed = calibrate.ptq_quantize(
+        params, cfg, ids, calibrate.PTQConfig(mode=args.mode),
+        progress=lambda i: print(f"  layer {i} done"))
+    tokens = ptq_data.get_eval_tokens(tokenizer=tok,
+                                      vocab_size=cfg.vocab_size)
+    p = ppl_eval.eval_ppl(qparams, cfg, tokens, seqlen=args.seqlen,
+                          max_windows=args.max_eval_windows)
+    print(f"wikitext-style ppl (quantized): {p:.4f}")
+    if args.save_model:
+        from mxq_tpu.utils import checkpoint as ckpt
+        ckpt.save_params(args.save_model, qparams if packed is None
+                         else packed, cfg)
+        print(f"saved to {args.save_model}")
+
+
+def cmd_eval_ppl(args):
+    from mxq_tpu.ptq import data as ptq_data
+    from mxq_tpu.eval import ppl as ppl_eval
+
+    cfg, params = _load_model(args, w_bits=args.w_bits, a_bits=args.a_bits,
+                              kv_bits=args.kv_bits)
+    tok = _tokenizer(args)
+    tokens = ptq_data.get_eval_tokens(tokenizer=tok,
+                                      vocab_size=cfg.vocab_size)
+    p = ppl_eval.eval_ppl(params, cfg, tokens, seqlen=args.seqlen,
+                          max_windows=args.max_eval_windows)
+    print(json.dumps({"ppl": p}))
+
+
+def cmd_eval_tasks(args):
+    from mxq_tpu.eval import harness
+
+    cfg, params = _load_model(args, w_bits=args.w_bits)
+    tok = _tokenizer(args)
+    if tok is None:
+        print("eval-tasks requires --tokenizer", file=sys.stderr)
+        sys.exit(2)
+    lm = harness.MXQLM(params, cfg, batch_size=args.batch_size)
+    tokenize = lambda s: np.asarray(tok(s)["input_ids"], np.int32)
+    results = harness.evaluate(lm, tokenize, args.tasks.split(","),
+                               limit=args.limit)
+    for r in results:
+        print(json.dumps(r))
+
+
+def cmd_train(args):
+    import jax
+    from mxq_tpu.models import llama
+    from mxq_tpu.qat import train, loop, data as qdata
+    from mxq_tpu.parallel import sharding
+
+    cfg, params = _load_model(args, w_bits=args.w_bits, a_bits=args.a_bits,
+                              kv_bits=args.kv_bits)
+    teacher = None
+    teacher_cfg = dataclasses.replace(cfg, w_bits=32, a_bits=32, kv_bits=32)
+    if args.use_kd:
+        _, teacher = _load_model(args)
+
+    if args.train_data and os.path.exists(args.train_data):
+        texts = qdata.read_jsonl_texts(args.train_data)
+        tok = _tokenizer(args)
+        streams = [np.asarray(tok(t)["input_ids"]) for t in texts]
+    else:
+        from mxq_tpu.ptq import data as ptq_data
+        streams = [ptq_data.synthetic_corpus(cfg.vocab_size,
+                                             args.block_size * 64)]
+    data = qdata.chunked_dataset(streams, args.block_size)
+    it = qdata.batches(data, args.batch_size, epochs=args.epochs)
+
+    mesh = None
+    nd = len(jax.devices())
+    if nd > 1:
+        import math
+        fsdp = math.gcd(nd, args.batch_size)
+        if fsdp > 1:
+            mesh = sharding.make_mesh(dp=1, fsdp=fsdp, tp=1)
+    tc = train.TrainConfig(learning_rate=args.lr, use_kd=args.use_kd,
+                           kd_loss_scale=args.kd_loss_scale,
+                           total_steps=args.max_steps or len(data))
+    lc = loop.LoopConfig(output_dir=args.output_dir,
+                         save_steps=args.save_steps,
+                         max_steps=args.max_steps)
+    res = loop.run_training(params, teacher, cfg, tc, lc, it, mesh=mesh)
+    print(f"trained to step {res['last_step']}")
+
+
+def cmd_generate_data(args):
+    import jax
+    from mxq_tpu.qat import data as qdata
+
+    cfg, params = _load_model(args)
+    rng = np.random.RandomState(args.chunk_id)
+    seeds = rng.randint(0, cfg.vocab_size, size=args.num_seeds).astype(np.int32)
+    out = qdata.synthesize_corpus(params, cfg, seeds, length=args.length,
+                                  key=jax.random.PRNGKey(args.chunk_id))
+    os.makedirs(args.out_dir, exist_ok=True)
+    path = os.path.join(args.out_dir, f"gen.chunk.{args.chunk_id:02d}.jsonl")
+    qdata.write_jsonl_chunk(path, out)
+    print(f"wrote {path}")
+    if args.merge:
+        n = qdata.merge_chunks(args.out_dir,
+                               os.path.join(args.out_dir, "all_gen.jsonl"))
+        print(f"merged {n} sequences")
+
+
+def cmd_serve(args):
+    from mxq_tpu.serving import engine as eng
+    from mxq_tpu.models import llama
+
+    cfg, params = _load_model(args, w_bits=args.w_bits)
+    if args.packed:
+        params = llama.quantize_params_packed(params, cfg)
+    e = eng.Engine(params, cfg, eng.EngineConfig(
+        num_slots=args.slots, max_len=args.max_len,
+        kv_quant=args.kv_bits < 32))
+    rng = np.random.RandomState(0)
+    reqs = [e.submit(rng.randint(0, cfg.vocab_size, size=8).astype(np.int32),
+                     max_new_tokens=args.max_new_tokens)
+            for _ in range(args.requests)]
+    import time
+    t0 = time.time()
+    done = e.run()
+    dt = time.time() - t0
+    total = sum(len(r.generated) for r in done)
+    print(json.dumps({"requests": len(done), "tokens": total,
+                      "tokens_per_sec": total / dt}))
+
+
+def _add_model_args(p):
+    p.add_argument("--model", default=None,
+                   help="HF checkpoint dir (else random init from --preset)")
+    p.add_argument("--preset", default="tiny",
+                   choices=["tiny", "llama2_7b", "llama2_13b", "llama2_70b"])
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mxq_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ptq")
+    _add_model_args(p)
+    p.add_argument("--nsamples", type=int, default=128)
+    p.add_argument("--seqlen", type=int, default=2048)
+    p.add_argument("--mode", default="reference",
+                   choices=["reference", "packed"])
+    p.add_argument("--save_model", default=None)
+    p.add_argument("--max_eval_windows", type=int, default=None)
+    p.set_defaults(fn=cmd_ptq)
+
+    p = sub.add_parser("eval-ppl")
+    _add_model_args(p)
+    p.add_argument("--w_bits", type=int, default=32)
+    p.add_argument("--a_bits", type=int, default=32)
+    p.add_argument("--kv_bits", type=int, default=32)
+    p.add_argument("--seqlen", type=int, default=2048)
+    p.add_argument("--max_eval_windows", type=int, default=None)
+    p.set_defaults(fn=cmd_eval_ppl)
+
+    p = sub.add_parser("eval-tasks")
+    _add_model_args(p)
+    p.add_argument("--w_bits", type=int, default=32)
+    p.add_argument("--tasks", default="piqa,winogrande,hellaswag,arc_easy")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_eval_tasks)
+
+    p = sub.add_parser("train")
+    _add_model_args(p)
+    p.add_argument("--w_bits", type=int, default=2)   # run_train.sh arg 1
+    p.add_argument("--a_bits", type=int, default=32)  # run_train.sh arg 2
+    p.add_argument("--kv_bits", type=int, default=32) # run_train.sh arg 3
+    p.add_argument("--use_kd", action="store_true", default=False)
+    p.add_argument("--kd_loss_scale", type=float, default=1.0)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--block_size", type=int, default=2048)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--train_data", default=None)
+    p.add_argument("--output_dir", default="out/qat")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("generate-data")
+    _add_model_args(p)
+    p.add_argument("--chunk_id", type=int, default=0)
+    p.add_argument("--num_seeds", type=int, default=16)
+    p.add_argument("--length", type=int, default=128)
+    p.add_argument("--out_dir", default="out/gen_data")
+    p.add_argument("--merge", action="store_true")
+    p.set_defaults(fn=cmd_generate_data)
+
+    p = sub.add_parser("serve")
+    _add_model_args(p)
+    p.add_argument("--w_bits", type=int, default=32)
+    p.add_argument("--kv_bits", type=int, default=8)
+    p.add_argument("--packed", action="store_true")
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--max_len", type=int, default=512)
+    p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--requests", type=int, default=8)
+    p.set_defaults(fn=cmd_serve)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,9 @@ class Engine:
                  ecfg: EngineConfig = EngineConfig()):
         self.params = params
         self.cfg = cfg
+        buckets = tuple(b for b in sorted(ecfg.prefill_buckets)
+                        if b <= ecfg.max_len) or (ecfg.max_len,)
+        ecfg = dataclasses.replace(ecfg, prefill_buckets=buckets)
         self.ecfg = ecfg
         nl, b = cfg.num_hidden_layers, ecfg.num_slots
         if ecfg.kv_quant:
