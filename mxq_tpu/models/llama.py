@@ -52,6 +52,10 @@ class LlamaConfig:
     kv_bits: int = 32
     a_symmetric: bool = True
     scheme: MXQConfig = dataclasses.field(default_factory=MXQConfig)
+    # attention backend: "auto" = pallas flash attention on TPU for cache-less
+    # causal forward (training/prefill), XLA einsum elsewhere; "xla" forces
+    # the einsum path; "flash" forces flash attention.
+    attn_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -243,15 +247,29 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-    # softmax in f32 (modeling_llama_quant.py:375)
-    qf = q.transpose(0, 2, 1, 3).astype(jnp.float32)
-    kf = k.transpose(0, 2, 1, 3).astype(jnp.float32)
-    vf = v.transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf) / np.sqrt(d)
-    scores = scores + mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(vf.dtype)
-    ctx = jnp.einsum("bhts,bhsd->bhtd", probs, vf)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh * d).astype(x.dtype)
+    use_flash = (cfg.attn_impl == "flash"
+                 or (cfg.attn_impl == "auto" and cache is None
+                     and jax.default_backend() != "cpu" and t >= 128))
+    if use_flash:
+        # pallas flash attention (jax.experimental.pallas.ops.tpu):
+        # online-softmax tiling, no T x S score materialization
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention)
+        ctx = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), causal=True,
+            sm_scale=float(1.0 / np.sqrt(d)))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh * d).astype(x.dtype)
+    else:
+        # softmax in f32 (modeling_llama_quant.py:375)
+        qf = q.transpose(0, 2, 1, 3).astype(jnp.float32)
+        kf = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+        vf = v.transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf) / np.sqrt(d)
+        scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(vf.dtype)
+        ctx = jnp.einsum("bhts,bhsd->bhtd", probs, vf)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh * d).astype(x.dtype)
     return quant_linear(ctx, layer["o_proj"], cfg, train), new_cache
 
 
