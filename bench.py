@@ -48,11 +48,20 @@ def random_packed_linear(key, k, o):
 
 
 def packed_params(cfg, key):
+    # fused layout (qkv + gate_up) — what quantize_params_packed(fuse=True)
+    # produces for the serving path
     shapes = llama._linear_shapes(cfg)
-    keys = jax.random.split(key, len(llama.LAYER_LINEARS) + 2)
+    h = cfg.hidden_size
+    kv = cfg.num_key_value_heads * cfg.head_dim
+    fused = {
+        "qkv_proj": (h, h + 2 * kv),
+        "gate_up_proj": (h, 2 * cfg.intermediate_size),
+        "o_proj": shapes["o_proj"],
+        "down_proj": shapes["down_proj"],
+    }
+    keys = jax.random.split(key, len(fused) + 2)
     layers = {}
-    for i, name in enumerate(llama.LAYER_LINEARS):
-        kin, out = shapes[name]
+    for i, (name, (kin, out)) in enumerate(fused.items()):
         mk = jax.random.split(keys[i], cfg.num_hidden_layers)
         layers[name] = jax.vmap(lambda kk: random_packed_linear(kk, kin, out))(mk)
     h = cfg.hidden_size

@@ -189,15 +189,30 @@ def quant_linear(x: jax.Array, w, cfg: LlamaConfig,
     return x @ w
 
 
-def quantize_params_packed(params: dict, cfg: LlamaConfig) -> dict:
+def quantize_params_packed(params: dict, cfg: LlamaConfig,
+                           fuse: bool = True) -> dict:
     """Convert the 7 per-layer projection weights to stacked PackedMXQLinear
     pytrees (everything else — embeddings, norms, head — stays dense, like the
-    reference which quantizes only the projections, utils_quant.py:601)."""
+    reference which quantizes only the projections, utils_quant.py:601).
+
+    ``fuse``: concatenate q/k/v and gate/up along the output dim into single
+    packed linears (fewer, wider kernel launches; MXQ quantization is
+    per-output-row, so fusion is numerically identical to separate packing).
+    """
     pack = jax.vmap(lambda w: quantize_pack(w.T, cfg.scheme))
     out = dict(params)
     layers = dict(params["layers"])
-    for name in LAYER_LINEARS:
-        layers[name] = pack(layers[name])
+    if fuse:
+        layers["qkv_proj"] = pack(jnp.concatenate(
+            [layers.pop("q_proj"), layers.pop("k_proj"),
+             layers.pop("v_proj")], axis=-1))
+        layers["gate_up_proj"] = pack(jnp.concatenate(
+            [layers.pop("gate_proj"), layers.pop("up_proj")], axis=-1))
+        layers["o_proj"] = pack(layers["o_proj"])
+        layers["down_proj"] = pack(layers["down_proj"])
+    else:
+        for name in LAYER_LINEARS:
+            layers[name] = pack(layers[name])
     out["layers"] = layers
     return out
 
@@ -212,9 +227,15 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
     b, t, h = x.shape
     nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    q = quant_linear(x, layer["q_proj"], cfg, train)
-    k = quant_linear(x, layer["k_proj"], cfg, train)
-    v = quant_linear(x, layer["v_proj"], cfg, train)
+    if "qkv_proj" in layer:
+        qkv = quant_linear(x, layer["qkv_proj"], cfg, train)
+        q = qkv[..., : nh * d]
+        k = qkv[..., nh * d: (nh + nkv) * d]
+        v = qkv[..., (nh + nkv) * d:]
+    else:
+        q = quant_linear(x, layer["q_proj"], cfg, train)
+        k = quant_linear(x, layer["k_proj"], cfg, train)
+        v = quant_linear(x, layer["v_proj"], cfg, train)
 
     # KV fake-quant before reshaping (modeling_llama_quant.py:323-329)
     if cfg.kv_bits < 32:
@@ -275,8 +296,12 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
 
 def mlp(x, layer, cfg: LlamaConfig, train=False):
     """LlamaMLP (modeling_llama_quant.py:210-237): SiLU(gate) * up -> down."""
-    g = quant_linear(x, layer["gate_proj"], cfg, train)
-    u = quant_linear(x, layer["up_proj"], cfg, train)
+    if "gate_up_proj" in layer:
+        gu = quant_linear(x, layer["gate_up_proj"], cfg, train)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = quant_linear(x, layer["gate_proj"], cfg, train)
+        u = quant_linear(x, layer["up_proj"], cfg, train)
     return quant_linear(jax.nn.silu(g) * u, layer["down_proj"], cfg, train)
 
 

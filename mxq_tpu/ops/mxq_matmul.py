@@ -37,50 +37,71 @@ K4T = W4_ROWS * 8
 
 def _kernel(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
             s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, n_kt):
+    """Slab-major dequant-matmul step.
+
+    All sub-word unpacking is constant-shift + mask over full [rows, NL]
+    tiles, group params are applied at [48, NL] (once, not expanded to
+    per-column), and the only data reorganization is plain concatenation —
+    measured substantially faster on Mosaic than the interleaved-reshape
+    formulation (tools/kernel_variants.py). The activations arrive permuted
+    to match (permute_x2/permute_x4)."""
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    nl = w2_ref.shape[1]
-
     # ---- 2-bit plane ----
-    w2 = w2_ref[:]                                     # [48, NL] int32
-    shifts = jax.lax.broadcasted_iota(jnp.int32, (W2_ROWS, 16, nl), 1) * 2
-    c2 = (jax.lax.shift_right_logical(w2[:, None, :], shifts) & 0x3)
-    c2 = c2.reshape(K2T, nl)                           # [768, NL] int32
-
     meta = meta_ref[:]                                 # [16, NL] int32
-    gsh = jax.lax.broadcasted_iota(jnp.int32, (NB_TILE, 3, nl), 1)
-    zc = (jax.lax.shift_right_logical(meta[:, None, :], gsh * 2) & 0x3)
-    sc = (jax.lax.shift_right_logical(meta[:, None, :], 6 + gsh * SCALE_CODE_BITS)
-          & ((1 << SCALE_CODE_BITS) - 1))              # [16, 3, NL]
-
     qs = qs_ref[:].astype(jnp.float32)                 # [16, NL]
     qm = qm_ref[:].astype(jnp.float32)
-    s_eff = (qs[:, None, :] * sc.astype(jnp.float32) + qm[:, None, :])
-    # Expand group params to per-column: [16, 3, NL] -> [48, 16, NL] -> [768, NL]
-    s_exp = jnp.broadcast_to(
-        s_eff.reshape(W2_ROWS, 1, nl), (W2_ROWS, 16, nl)).reshape(K2T, nl)
-    z_exp = jnp.broadcast_to(
-        zc.reshape(W2_ROWS, 1, nl), (W2_ROWS, 16, nl)).reshape(K2T, nl)
-    w2dq = (s_exp * (c2 - z_exp).astype(jnp.float32)).astype(jnp.bfloat16)
+    s_parts, z_parts = [], []
+    for i in range(3):                                 # field i -> group 16i+r
+        zc_i = jax.lax.shift_right_logical(meta, 2 * i) & 0x3
+        sc_i = (jax.lax.shift_right_logical(meta, 6 + SCALE_CODE_BITS * i)
+                & ((1 << SCALE_CODE_BITS) - 1))
+        s_parts.append(qs * sc_i.astype(jnp.float32) + qm)
+        z_parts.append(zc_i)
+    s_eff = jnp.concatenate(s_parts, axis=0)           # [48, NL], row = group
+    zc = jnp.concatenate(z_parts, axis=0).astype(jnp.float32)
+    neg_sz = s_eff * zc
 
+    w2 = w2_ref[:]                                     # [48, NL] int32
+    slabs = []
+    for j in range(16):
+        c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+        slabs.append((s_eff * c_j.astype(jnp.float32)
+                      - neg_sz).astype(jnp.bfloat16))
+    w2dq = jnp.concatenate(slabs, axis=0)              # [768, NL]
     acc_ref[:] += jnp.dot(x2_ref[:], w2dq, preferred_element_type=jnp.float32)
 
     # ---- 4-bit plane ----
+    s4 = s4_ref[:]                                     # [1, NL] f32
+    sz4 = s4 * z4_ref[:]
     w4 = w4_ref[:]                                     # [32, NL] int32
-    shifts4 = jax.lax.broadcasted_iota(jnp.int32, (W4_ROWS, 8, nl), 1) * 4
-    c4 = (jax.lax.shift_right_logical(w4[:, None, :], shifts4) & 0xF)
-    c4 = c4.reshape(K4T, nl).astype(jnp.float32)
-    w4dq = (s4_ref[:] * (c4 - z4_ref[:])).astype(jnp.bfloat16)
-
+    slabs4 = []
+    for j in range(8):
+        c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+        slabs4.append((s4 * c_j.astype(jnp.float32)
+                       - sz4).astype(jnp.bfloat16))
+    w4dq = jnp.concatenate(slabs4, axis=0)             # [256, NL]
     acc_ref[:] += jnp.dot(x4_ref[:], w4dq, preferred_element_type=jnp.float32)
 
     @pl.when(kt == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def permute_x2(x2: jax.Array, n_kt: int) -> jax.Array:
+    """Per-k-tile slab-major permutation: output row j*48 + r <- input column
+    16r + j, matching the kernel's concatenated unpack order."""
+    b = x2.shape[0]
+    return x2.reshape(b, n_kt, W2_ROWS, 16).swapaxes(-1, -2).reshape(b, -1)
+
+
+def permute_x4(x4: jax.Array, n_kt: int) -> jax.Array:
+    b = x4.shape[0]
+    return x4.reshape(b, n_kt, W4_ROWS, 8).swapaxes(-1, -2).reshape(b, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "block_n", "interpret",
@@ -152,6 +173,9 @@ def mxq_matmul(x: jax.Array, p: PackedMXQLinear,
     bp = _round_up(b, bb)
     xb = jnp.pad(xb, ((0, bp - b), (0, 0)))
     x2, x4 = packfmt.pad_inputs_split(xb, p, cfg)
+    n_kt = p.nbp // NB_TILE
+    x2 = permute_x2(x2, n_kt)
+    x4 = permute_x4(x4, n_kt)
     y = _mxq_matmul_padded(
         x2.astype(jnp.bfloat16), x4.astype(jnp.bfloat16),
         p.w2, p.w4, p.meta2, p.qscale, p.qmin,

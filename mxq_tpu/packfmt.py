@@ -33,16 +33,29 @@ as planes over [K, N=O]):
 
   NB    = K / 64 blocks, padded to NBP (multiple of NB_TILE=16)
   K2P   = NBP * 48, K4P = NBP * 16, G2P = NBP * 3 (2-bit groups)
-  w2    : int32 [K2P/16, N]  16 x 2b codes per word, code j at bits 2j
+  w2    : int32 [K2P/16, N]  word r of a k-tile = the 16 codes of 2b-group r
+                             (r in [0,48)), code j at bits 2j
   w4    : int32 [K4P/8,  N]  8 x 4b codes per word, code j at bits 4j
-  meta2 : int32 [NBP, N]     bits 0..5: zero codes z0,z1,z2 (2b each);
-                             bits 6..29: scale codes s0,s1,s2 (8b each)
-  qscale: bf16 [NBP, N]      second-order scale, one per (block, channel)
-  qmin  : bf16 [NBP, N]      second-order min offset, one per (block, channel)
-                             (qq chunk = the 3 groups of one block; 16 rows
-                              per k-tile = exactly one bf16 sublane tile)
+  meta2 : int32 [NBP, N]     word r of a k-tile holds, for the three groups
+                             g = 16*i + r (i in {0,1,2}) of that tile:
+                             zero code of g at bits 2i (2b each) and scale
+                             code of g at bits 6+8i (8b each). The i-indexed
+                             field layout means the kernel reconstructs all 48
+                             group params with three shift/mask ops and one
+                             concatenation — no sublane interleaves.
+  qscale: bf16 [NBP, N]      second-order scale, one per (k-tile word r,
+  qmin  : bf16 [NBP, N]      channel); the qq chunk of word r = the 3 groups
+                             {r, 16+r, 32+r} stored in that word, so the
+                             kernel applies qq params with zero expansion.
+                             (16 rows per k-tile = one bf16 sublane tile)
   smeta4: f32 [8, N]         row 0: per-channel 4b scale (fp), row 1: 4b zero
                              code (as fp), rows 2..7 zero (pad to sublane 8)
+
+The matching activation layout is slab-major per k-tile: the kernel consumes
+x2 permuted so row j*48 + r corresponds to original column 16r + j (see
+ops.mxq_matmul.permute_x2) — the dequantized weight is then a plain
+concatenation of the 16 shift/mask slabs, with per-group scale/zero applied
+per slab at [48, N] without any broadcast materialization.
 """
 
 from __future__ import annotations
@@ -132,21 +145,25 @@ def quantize_pack(w: jax.Array, cfg: MXQConfig = DEFAULT_SCHEME) -> PackedMXQLin
     s, z = scheme.asym_find_params(gv, cfg.maxq_lo)  # [O, G2]
     zc = jnp.clip(jnp.round(z), 0, cfg.maxq_lo)
 
-    # Second-order: chunks of QQ_GROUPS consecutive groups along K.
+    # Second-order: the qq chunk of k-tile word r is the QQ_GROUPS groups
+    # {16*i + r} stored in that word — view groups as [n_kt, i, r] and
+    # reduce over i.
     g2p = nbp * cfg.groups_per_block
+    n_kt = nbp // NB_TILE
     s_pad = jnp.pad(s, ((0, n - o), (0, g2p - g2)))
     zc_pad = jnp.pad(zc, ((0, n - o), (0, g2p - g2)))
-    sc = s_pad.reshape(n, g2p // QQ_GROUPS, QQ_GROUPS)
-    qq_min = jnp.min(sc, axis=-1)                    # [N, C]
-    qq_rng = jnp.max(sc, axis=-1) - qq_min
+    sv = s_pad.reshape(n, n_kt, QQ_GROUPS, NB_TILE)  # [.., i, r] = group 16i+r
+    qq_min = jnp.min(sv, axis=2)                     # [N, n_kt, 16]
+    qq_rng = jnp.max(sv, axis=2) - qq_min
     qq_scale = jnp.where(qq_rng > 0, qq_rng / SCALE_CODE_MAX, 1.0)
-    s_codes = jnp.clip(jnp.round((sc - qq_min[..., None]) / qq_scale[..., None]),
-                       0, SCALE_CODE_MAX)            # [N, C, QQ_GROUPS]
+    s_codes = jnp.clip(
+        jnp.round((sv - qq_min[:, :, None, :]) / qq_scale[:, :, None, :]),
+        0, SCALE_CODE_MAX)                           # [N, n_kt, 3, 16]
     # bf16 storage of second-order params (the precision the kernel sees).
     qq_scale_b = qq_scale.astype(jnp.bfloat16)
     qq_min_b = qq_min.astype(jnp.bfloat16)
-    s_eff = (qq_scale_b.astype(jnp.float32)[..., None] * s_codes
-             + qq_min_b.astype(jnp.float32)[..., None])
+    s_eff = (qq_scale_b.astype(jnp.float32)[:, :, None, :] * s_codes
+             + qq_min_b.astype(jnp.float32)[:, :, None, :])
     s_eff = s_eff.reshape(n, g2p)
 
     # 2b codes quantized against the effective (double-quantized) scale,
@@ -171,22 +188,24 @@ def quantize_pack(w: jax.Array, cfg: MXQConfig = DEFAULT_SCHEME) -> PackedMXQLin
     w2 = _pack_along_sublanes(codes2.T, cfg.bits_lo)
     w4 = _pack_along_sublanes(codes4.T, cfg.bits_hi)
 
-    # meta2: per (block, n): 3 zero codes (2b) + 3 scale codes (8b).
-    zc_t = zc_pad.T.reshape(nbp, cfg.groups_per_block, n).astype(jnp.int32)
-    sc_t = s_codes.reshape(n, g2p).T.reshape(
-        nbp, cfg.groups_per_block, n).astype(jnp.int32)
-    gshift = (jnp.arange(cfg.groups_per_block, dtype=jnp.int32) * 2)[None, :, None]
-    sshift = (6 + jnp.arange(cfg.groups_per_block, dtype=jnp.int32)
-              * SCALE_CODE_BITS)[None, :, None]
-    meta2 = (jnp.sum(zc_t << gshift, axis=1)
-             + jnp.sum(sc_t << sshift, axis=1)).astype(jnp.int32)
+    # meta2 word (tile t, row r): fields i hold codes of group 16i+r.
+    zv = zc_pad.reshape(n, n_kt, QQ_GROUPS, NB_TILE).astype(jnp.int32)
+    sc_i = s_codes.astype(jnp.int32)
+    meta = jnp.zeros((n, n_kt, NB_TILE), jnp.int32)
+    for i in range(QQ_GROUPS):
+        meta = meta | (zv[:, :, i, :] << (2 * i)) \
+                    | (sc_i[:, :, i, :] << (6 + SCALE_CODE_BITS * i))
+    meta2 = meta.transpose(1, 2, 0).reshape(nbp, n)
+
+    def rows(a):  # [N, n_kt, 16] -> [NBP, N]
+        return a.transpose(1, 2, 0).reshape(nbp, n)
 
     smeta4 = jnp.zeros((8, n), jnp.float32)
     smeta4 = smeta4.at[0].set(s4).at[1].set(z4c)
 
     return PackedMXQLinear(w2=w2, w4=w4, meta2=meta2,
-                           qscale=qq_scale_b.T, qmin=qq_min_b.T, smeta4=smeta4,
-                           in_features=k, out_features=o)
+                           qscale=rows(qq_scale_b), qmin=rows(qq_min_b),
+                           smeta4=smeta4, in_features=k, out_features=o)
 
 
 def unpack_dequant(p: PackedMXQLinear,
@@ -203,17 +222,21 @@ def unpack_dequant(p: PackedMXQLinear,
     codes2 = _unpack_along_sublanes(p.w2, cfg.bits_lo).astype(jnp.float32)
     codes4 = _unpack_along_sublanes(p.w4, cfg.bits_hi).astype(jnp.float32)
 
-    zc = (p.meta2[:, None, :] >> (jnp.arange(gpb, dtype=jnp.int32) * 2
-                                  )[None, :, None]) & 0x3
-    sc = (p.meta2[:, None, :] >> (6 + jnp.arange(gpb, dtype=jnp.int32)
-                                  * SCALE_CODE_BITS)[None, :, None]) & SCALE_CODE_MAX
-    zc = zc.reshape(g2p, n).astype(jnp.float32)
-    sc = sc.reshape(g2p, n).astype(jnp.float32)
+    # meta word (t, r), field i -> group 16i + r of tile t
+    n_kt = nbp // NB_TILE
+    mv = p.meta2.reshape(n_kt, NB_TILE, n)
+    fields = jnp.arange(gpb, dtype=jnp.int32)
+    zc = (mv[:, None, :, :] >> (fields * 2)[None, :, None, None]) & 0x3
+    sc = (mv[:, None, :, :] >> (6 + fields * SCALE_CODE_BITS)[None, :, None,
+                                                              None]) \
+        & SCALE_CODE_MAX                            # [n_kt, i, r, N]
+    zc = zc.reshape(g2p, n).astype(jnp.float32)     # flat g = t*48 + 16i + r
+    sc = sc.astype(jnp.float32)
 
-    qq_scale = p.qscale.astype(jnp.float32)         # [NBP, N]
-    qq_min = p.qmin.astype(jnp.float32)
-    s_eff = (qq_scale[:, None, :] * sc.reshape(nbp, QQ_GROUPS, n)
-             + qq_min[:, None, :]).reshape(g2p, n)
+    qq_scale = p.qscale.astype(jnp.float32).reshape(n_kt, NB_TILE, n)
+    qq_min = p.qmin.astype(jnp.float32).reshape(n_kt, NB_TILE, n)
+    s_eff = (qq_scale[:, None, :, :] * sc + qq_min[:, None, :, :])
+    s_eff = s_eff.reshape(g2p, n)
 
     w2 = (jnp.repeat(s_eff, cfg.group, axis=0)
           * (codes2 - jnp.repeat(zc, cfg.group, axis=0)))

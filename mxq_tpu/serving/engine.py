@@ -212,9 +212,15 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
         b_, t, _ = h.shape
         nh, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
                       cfg.head_dim)
-        q = llama.quant_linear(h, layer["q_proj"], cfg).reshape(b_, t, nh, d)
-        k = llama.quant_linear(h, layer["k_proj"], cfg).reshape(b_, t, nkv, d)
-        v = llama.quant_linear(h, layer["v_proj"], cfg).reshape(b_, t, nkv, d)
+        if "qkv_proj" in layer:
+            qkv = llama.quant_linear(h, layer["qkv_proj"], cfg)
+            q = qkv[..., : nh * d].reshape(b_, t, nh, d)
+            k = qkv[..., nh * d: (nh + nkv) * d].reshape(b_, t, nkv, d)
+            v = qkv[..., (nh + nkv) * d:].reshape(b_, t, nkv, d)
+        else:
+            q = llama.quant_linear(h, layer["q_proj"], cfg).reshape(b_, t, nh, d)
+            k = llama.quant_linear(h, layer["k_proj"], cfg).reshape(b_, t, nkv, d)
+            v = llama.quant_linear(h, layer["v_proj"], cfg).reshape(b_, t, nkv, d)
         q, k = llama.apply_rope(q, k, cos, sin)
 
         onehot = (kpos == positions[:, None]).astype(jnp.float32)  # [B, S]

@@ -138,3 +138,15 @@ class TestPackedModel:
         pl_ = np.asarray(lp)
         dl = np.asarray(ld)
         assert np.max(np.abs(pl_ - dl)) / (np.abs(dl).max() + 1e-9) < 0.03
+
+    def test_fused_packed_matches_unfused(self):
+        cfg = llama.LlamaConfig.tiny(num_hidden_layers=1)
+        params = llama.init_params(cfg, jax.random.PRNGKey(3))
+        ids = jnp.arange(6).reshape(1, 6)
+        pf = llama.quantize_params_packed(params, cfg, fuse=True)
+        pu = llama.quantize_params_packed(params, cfg, fuse=False)
+        lf, _ = llama.forward(pf, ids, cfg)
+        lu, _ = llama.forward(pu, ids, cfg)
+        rel = np.abs(np.asarray(lf) - np.asarray(lu)).max() / (
+            np.abs(np.asarray(lu)).max() + 1e-9)
+        assert rel < 2e-2, rel

@@ -186,5 +186,115 @@ def main():
             print(f"{name:12s}: FAIL {str(e).splitlines()[0][:160]}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--f-only" not in sys.argv:
     main()
+
+
+# F: slab-major unpack — no interleaved reshapes, no scale expansion.
+# Requires x2/x4 permuted outside (slab-major) and meta fields mapped
+# group g -> word g%16, field g//16.
+def kernel_f(x2, x4, w2r, w4r, meta, qs, qm, s4, z4, out, acc):
+    kt = pl.program_id(2)
+    @pl.when(kt == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    nl = w2r.shape[1]
+    meta_w = meta[:]
+    qsf = qs[:].astype(jnp.float32)
+    qmf = qm[:].astype(jnp.float32)
+    s_parts, z_parts = [], []
+    for i in range(3):
+        zc_i = (jax.lax.shift_right_logical(meta_w, 2 * i) & 0x3)
+        sc_i = (jax.lax.shift_right_logical(meta_w, 6 + 8 * i) & 0xFF)
+        s_parts.append(qsf * sc_i.astype(jnp.float32) + qmf)
+        z_parts.append(zc_i)
+    s_eff = jnp.concatenate(s_parts, axis=0)            # [48, nl]
+    zc = jnp.concatenate(z_parts, axis=0).astype(jnp.float32)
+    neg_sz = s_eff * zc
+    w2w = w2r[:]
+    slabs = []
+    for j in range(16):
+        c_j = (jax.lax.shift_right_logical(w2w, 2 * j) & 0x3)
+        slabs.append((s_eff * c_j.astype(jnp.float32) - neg_sz).astype(jnp.bfloat16))
+    w2dq = jnp.concatenate(slabs, axis=0)               # [768, nl]
+    acc[:] += jnp.dot(x2[:], w2dq, preferred_element_type=jnp.float32)
+
+    w4w = w4r[:]
+    s4f = s4[:]
+    sz4 = s4f * z4[:]
+    slabs4 = []
+    for j in range(8):
+        c_j = (jax.lax.shift_right_logical(w4w, 4 * j) & 0xF)
+        slabs4.append((s4f * c_j.astype(jnp.float32) - sz4).astype(jnp.bfloat16))
+    w4dq = jnp.concatenate(slabs4, axis=0)              # [256, nl]
+    acc[:] += jnp.dot(x4[:], w4dq, preferred_element_type=jnp.float32)
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _(): out[:] = acc[:]
+
+
+def perm_x2(x2, n_kt):
+    b = x2.shape[0]
+    return x2.reshape(b, n_kt, 48, 16).swapaxes(-1, -2).reshape(b, -1)
+
+
+def perm_x4(x4, n_kt):
+    b = x4.shape[0]
+    return x4.reshape(b, n_kt, 32, 8).swapaxes(-1, -2).reshape(b, -1)
+
+
+def repack_for_f(p):
+    """Re-map meta2 fields: group g -> word g%16, field g//16 (per k-tile)."""
+    import numpy as np
+    nbp, n = p.meta2.shape
+    n_kt = nbp // 16
+    meta = np.asarray(p.meta2).reshape(n_kt, 16, n)
+    z = [(meta >> (2 * i)) & 0x3 for i in range(3)]       # field i = group 3b+i
+    s = [(meta >> (6 + 8 * i)) & 0xFF for i in range(3)]
+    # current mapping: word b, field i -> group 3b+i. build group-indexed [48, n]
+    zg = np.zeros((n_kt, 48, n), np.int64)
+    sg = np.zeros((n_kt, 48, n), np.int64)
+    for b in range(16):
+        for i in range(3):
+            g = 3 * b + i
+            zg[:, g] = z[i][:, b]
+            sg[:, g] = s[i][:, b]
+    # new mapping: word r, field i' -> group 16*i' + r
+    new = np.zeros((n_kt, 16, n), np.int64)
+    for r in range(16):
+        for ip in range(3):
+            g = 16 * ip + r
+            new[:, r] |= (zg[:, g] << (2 * ip)) | (sg[:, g] << (6 + 8 * ip))
+    # qscale/qmin: old per-block b (covers groups 3b..3b+2); new chunk = word r
+    # covers groups {r, r+16, r+32}. Recompute from s_eff? For a PERF benchmark
+    # only, reuse values at block index r (numerically different but same cost).
+    meta_new = jnp.asarray(new.reshape(nbp, n).astype(np.int32))
+    import dataclasses as dc
+    return dc.replace(p, meta2=meta_new)
+
+
+def main_f():
+    o, k, b = 4096, 4096, 8
+    w = jax.random.normal(jax.random.PRNGKey(0), (o, k), jnp.float32)
+    p = jax.device_put(packfmt.quantize_pack(w, CFG))
+    pf = jax.device_put(repack_for_f(p))
+    pb = (p.w2.size + p.w4.size + p.meta2.size) * 4 + (p.qscale.size + p.qmin.size) * 2
+    nbp, n = p.meta2.shape
+    n_kt = nbp // 16
+    x0 = jnp.ones((b, k), jnp.bfloat16)
+
+    call = make_call(kernel_f, b, nbp, n)
+
+    def stepf(x):
+        x2, x4 = packfmt.pad_inputs_split(x, p, CFG)
+        y = call(perm_x2(x2, n_kt), perm_x4(x4, n_kt), pf.w2, pf.w4, pf.meta2,
+                 pf.qscale, pf.qmin, pf.smeta4[0:1], pf.smeta4[1:2])
+        return (y[:, :k] * 1e-6).astype(jnp.bfloat16)
+
+    try:
+        t = time_op(stepf, x0)
+        print(f"F_slabmajor : {t*1e6:7.1f}us  ({pb/t/1e9:6.1f} GB/s, {100*pb/t/1e9/819:5.1f}% peak)")
+    except Exception as e:
+        print(f"F_slabmajor : FAIL {str(e).splitlines()[0][:300]}")
+
+
+if __name__ == "__main__" and "--f-only" in sys.argv:
+    main_f()
