@@ -1,0 +1,180 @@
+"""Pruning baselines — the Wanda-heritage side of the reference
+(mxq_quant/lib/prune.py:17-324, layerwrapper.py, weight_permutation.py).
+
+* magnitude pruning (prune.py:111-131)
+* Wanda: metric |W| * ||x||_2 per input column (prune.py:133-221, metric at
+  :177), with unstructured or n:m structured masks
+* SparseGPT (OBS): Hessian-based prune with Cholesky inverse and error
+  propagation (lib/sparsegpt.py:44-123, the faithful SparseGPT0)
+* check_sparsity (prune.py:38-62)
+* activation-order permutation by diag(H) (weight_permutation.py:41)
+
+All vectorized/jittable; the layer-sequential schedule reuses
+ptq.calibrate's input-capture machinery.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mxq_tpu.models import llama
+from mxq_tpu.ptq import calibrate
+
+
+def magnitude_mask(w_io: jax.Array, sparsity: float = 0.5,
+                   n: int = 0, m: int = 0) -> jax.Array:
+    """Keep-mask by |W| (prune.py:111-131). ``w_io``: [in, out]."""
+    return _mask_from_metric(jnp.abs(w_io), sparsity, n, m)
+
+
+def wanda_mask(w_io: jax.Array, col_sq: jax.Array, sparsity: float = 0.5,
+               n: int = 0, m: int = 0) -> jax.Array:
+    """Wanda keep-mask: metric = |W| * ||x_col||_2 (prune.py:177; the running
+    per-column norm is layerwrapper.py:5-35's scaler_row)."""
+    metric = jnp.abs(w_io) * jnp.sqrt(col_sq)[:, None]
+    return _mask_from_metric(metric, sparsity, n, m)
+
+
+def _mask_from_metric(metric: jax.Array, sparsity: float, n: int,
+                      m: int) -> jax.Array:
+    """Per-output-channel mask. n:m structured when n>0: keep the n largest
+    of every m consecutive input positions (prune.py:160-171)."""
+    if n > 0:
+        k, o = metric.shape
+        g = metric.reshape(k // m, m, o)
+        # rank within each m-group (descending)
+        order = jnp.argsort(-g, axis=1)
+        rank = jnp.argsort(order, axis=1)
+        return (rank < n).reshape(k, o)
+    k = metric.shape[0]
+    cut = jnp.quantile(metric, sparsity, axis=0, keepdims=True)
+    return metric >= cut
+
+
+def check_sparsity(params: dict) -> float:
+    """Fraction of zeros over the projection weights (prune.py:38-62)."""
+    zeros = total = 0
+    for name in llama.LAYER_LINEARS:
+        w = params["layers"].get(name)
+        if w is None:
+            continue
+        zeros += float(jnp.sum(w == 0))
+        total += w.size
+    return zeros / max(total, 1)
+
+
+def act_order_permutation(diag_h: jax.Array) -> jax.Array:
+    """Descending diag(H) column order (weight_permutation.py:41)."""
+    return jnp.argsort(-diag_h)
+
+
+# ---------------------------------------------------------------------------
+# SparseGPT (OBS with error propagation) — lib/sparsegpt.py:44-123
+# ---------------------------------------------------------------------------
+
+
+def sparsegpt_prune(w_io: jax.Array, h: jax.Array, sparsity: float = 0.5,
+                    blocksize: int = 128, percdamp: float = 0.01,
+                    n: int = 0, m: int = 0) -> jax.Array:
+    """OBS pruning of [in, out] weight with Hessian ``h`` [in, in].
+
+    Follows the SparseGPT recipe (sparsegpt.py:54-117): dampen H, Cholesky ->
+    inverse Cholesky (upper), per column block select prune mask by
+    w^2 / diag(Hinv)^2, zero and propagate error into later columns.
+    """
+    k = w_io.shape[0]
+    w = w_io.T.astype(jnp.float32)            # [out, in] like the reference
+    dead = jnp.diag(h) == 0
+    h = h.at[jnp.diag_indices(k)].add(jnp.where(dead, 1.0, 0.0))
+    w = jnp.where(dead[None, :], 0.0, w)
+
+    damp = percdamp * jnp.mean(jnp.diag(h))
+    h = h + damp * jnp.eye(k, dtype=h.dtype)
+    # Hinv via Cholesky of H^-1 (upper), as sparsegpt.py:97-101
+    hinv = jnp.linalg.inv(h)
+    hinv_chol = jnp.linalg.cholesky(hinv, upper=True)
+
+    # Build prune mask globally by the OBS saliency, then zero with
+    # propagation column-by-column for the pruned set.
+    diag = jnp.diag(hinv_chol)
+    metric = (w ** 2) / (diag[None, :] ** 2)
+    if n > 0:
+        g = metric.reshape(w.shape[0], k // m, m)
+        order = jnp.argsort(-g, axis=2)
+        rank = jnp.argsort(order, axis=2)
+        keep = (rank < n).reshape(w.shape[0], k)
+    else:
+        cut = jnp.quantile(metric, sparsity, axis=1, keepdims=True)
+        keep = metric >= cut
+
+    def col_body(idx, w):
+        d = hinv_chol[idx, idx]
+        wcol = w[:, idx]
+        prune_col = ~keep[:, idx]
+        err = jnp.where(prune_col, wcol, 0.0) / d
+        row = hinv_chol[idx]
+        cols = jnp.arange(k)
+        live = cols > idx
+        w = w - jnp.where(live[None, :], err[:, None] * row[None, :], 0.0)
+        w = w.at[:, idx].set(jnp.where(prune_col, 0.0, wcol))
+        return w
+
+    w = jax.lax.fori_loop(0, k, col_body, w)
+    return w.T.astype(w_io.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Layer-sequential prune driver (reuses calibrate's capture machinery)
+# ---------------------------------------------------------------------------
+
+
+def prune_model(params: dict, cfg: llama.LlamaConfig, input_ids: jax.Array,
+                method: str = "wanda", sparsity: float = 0.5,
+                n: int = 0, m: int = 0) -> dict:
+    """Layer-sequential pruning (prune.py:133-221 schedule): capture each
+    linear's inputs, mask its weight, re-forward with the pruned layer."""
+    s, t = input_ids.shape
+    x = params["embed_tokens"][input_ids]
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (s, t))
+    cos, sin = llama.rope_tables(cfg, positions)
+    cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
+    mask = llama.causal_mask(t, dtype=jnp.float32)
+
+    import dataclasses
+    fp_cfg = dataclasses.replace(cfg, w_bits=32, a_bits=32, kv_bits=32)
+
+    @partial(jax.jit, static_argnames=())
+    def prune_layer(x, layer):
+        inputs = calibrate._layer_linear_inputs(x, layer, cfg, cos, sin, mask)
+        new_layer = dict(layer)
+        for name in llama.LAYER_LINEARS:
+            w = layer[name]
+            col_sq = calibrate._col_sq(inputs[name])
+            if method == "magnitude":
+                keep = magnitude_mask(w, sparsity, n, m)
+                new_layer[name] = w * keep
+            elif method == "wanda":
+                keep = wanda_mask(w, col_sq, sparsity, n, m)
+                new_layer[name] = w * keep
+            else:  # sparsegpt
+                flat = inputs[name].reshape(-1, w.shape[0]).astype(jnp.float32)
+                h = (2.0 / flat.shape[0]) * (flat.T @ flat)
+                new_layer[name] = sparsegpt_prune(w, h, sparsity,
+                                                 n=n, m=m)
+        out, _ = llama.decoder_layer(x, new_layer, fp_cfg, cos, sin, mask)
+        return new_layer, out
+
+    stacked = params["layers"]
+    new_stacks = {k_: [] for k_ in stacked}
+    for i in range(cfg.num_hidden_layers):
+        layer = {k_: v[i] for k_, v in stacked.items()}
+        new_layer, x = prune_layer(x, layer)
+        for k_ in stacked:
+            new_stacks[k_].append(new_layer[k_])
+
+    out = dict(params)
+    out["layers"] = {k_: jnp.stack(v) for k_, v in new_stacks.items()}
+    return out
