@@ -380,3 +380,78 @@ def _act_ste_bwd(fq, clip, x, g):
 
 
 _act_ste.defvjp(_act_ste_fwd, _act_ste_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Scheme variants carried by the reference
+# ---------------------------------------------------------------------------
+
+
+def mx1_fake_quant_qat(w: jax.Array, ratio_2b: float = 0.6,
+                       group: int = 32, bits_lo: int = 2,
+                       bits_hi: int = 4, eps: float = 1e-8) -> jax.Array:
+    """MX1AsymQuantizer.forward (utils_quant.py:477-598): FRONT
+    ``ratio_2b`` of the columns in 2-bit groups of 32 (utils_quant.py:507),
+    the TAIL at per-row
+    4-bit — the front/back variant of the scheme (vs the block-interleaved
+    MXAsym). The reference's loop runs group-aligned past int(K*ratio)
+    (utils_quant.py:516-522: start_4b = last group end), reproduced here.
+    """
+    o, k = w.shape
+    target = int(k * ratio_2b)
+    n_groups = -(-target // group) if target % group else target // group
+    split = min(n_groups * group, k)
+
+    front = w[:, :split].reshape(o, -1, group)
+    alpha = (jnp.max(front, axis=-1, keepdims=True)
+             - jnp.min(front, axis=-1, keepdims=True))
+    beta = jnp.min(front, axis=-1, keepdims=True)
+    lo = _qat_affine_qdq(front, alpha, beta, 2**bits_lo - 1, eps)
+    lo = lo.reshape(o, split)
+
+    tail = w[:, split:]
+    alpha4 = (jnp.max(tail, axis=-1, keepdims=True)
+              - jnp.min(tail, axis=-1, keepdims=True))
+    beta4 = jnp.min(tail, axis=-1, keepdims=True)
+    hi = _qat_affine_qdq(tail, alpha4, beta4, 2**bits_hi - 1, eps)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def mxq_fake_quant_ptq_ratio(w: jax.Array, ratio_2b_num: int,
+                             ratio_2b_den: int, blocksize: int = 16,
+                             cfg: MXQConfig = DEFAULT_SCHEME) -> jax.Array:
+    """Block-interleaved PTQ quant-dequant at an arbitrary 2b ratio — the
+    reference's active ``SparseGPT.fasterprune`` (sparsegpt.py:1993-2110)
+    is this scheme at ratio 6/10 with 2b sub-blocks of ``blocksize``
+    (called with blocksize=32, prune.py:308). Handles ragged last groups
+    (e.g. 38 = 32 + 6 columns per 64-block).
+    """
+    o, k = w.shape
+    w = w.astype(jnp.float32)
+    block = cfg.block
+    num_2b = int(block * ratio_2b_num / ratio_2b_den)
+    nb = k // block
+    wb = w.reshape(o, nb, block)
+    lo, hi = wb[:, :, :num_2b], wb[:, :, num_2b:]
+
+    # 2b region in sub-blocks of `blocksize` columns (ragged tail allowed)
+    pieces = []
+    for start in range(0, num_2b, blocksize):
+        end = min(start + blocksize, num_2b)
+        seg = lo[:, :, start:end]
+        s, z = asym_find_params(seg, cfg.maxq_lo)
+        sdq = double_quant_scales(
+            s.T.reshape(-1, o), cfg.qq_scale_bits, cfg.qq_group,
+            eps=cfg.ptq_eps).scale_dq.reshape(s.T.shape).T
+        pieces.append(asym_qdq(seg, sdq[..., None], z[..., None],
+                               cfg.maxq_lo, cfg.ptq_eps))
+    lo_dq = jnp.concatenate(pieces, axis=-1)
+
+    hi_flat = hi.reshape(o, -1)
+    s4, z4 = asym_find_params(hi_flat, cfg.maxq_hi)
+    s4dq = double_quant_scales(s4, cfg.qq_scale_bits, cfg.qq_group,
+                               eps=cfg.ptq_eps).scale_dq
+    hi_dq = asym_qdq(hi_flat, s4dq[:, None], z4[:, None], cfg.maxq_hi,
+                     cfg.ptq_eps).reshape(hi.shape)
+
+    return jnp.concatenate([lo_dq, hi_dq], axis=-1).reshape(o, k)

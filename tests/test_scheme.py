@@ -141,3 +141,23 @@ class TestRoundTripAndProperties:
 
     def test_effective_bits(self):
         assert 2.7 < CFG.effective_bits(4096, 4096) < 3.0
+
+
+class TestVariants:
+    def test_mx1_matches_reference(self):
+        g = load("qat_mx1")
+        out = scheme.mx1_fake_quant_qat(jnp.asarray(g["w"]), ratio_2b=0.6)
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=0,
+                                   atol=1e-6)
+
+    def test_ratio_variant_runs(self):
+        w = jax.random.normal(jax.random.PRNGKey(7), (32, 128))
+        out = scheme.mxq_fake_quant_ptq_ratio(w, 6, 10, blocksize=32)
+        assert out.shape == w.shape
+        err = float(jnp.abs(out - w).max())
+        assert 0 < err < 1.5
+        # ratio 6/8 with blocksize 16 reduces to the standard scheme
+        std = scheme.mxq_fake_quant_ptq(w, CFG)
+        r68 = scheme.mxq_fake_quant_ptq_ratio(w, 6, 8, blocksize=16)
+        np.testing.assert_allclose(np.asarray(r68), np.asarray(std),
+                                   rtol=1e-5, atol=1e-6)

@@ -102,7 +102,21 @@ def ptq_goldens():
          out=layer.weight.data.numpy())
 
 
+
+
+
+def variant_goldens():
+    import torch
+    from models.utils_quant import MX1AsymQuantizer
+    clip = torch.tensor([-2.0, 2.0])
+    g = torch.Generator().manual_seed(11)
+    w = torch.randn(16, 256, generator=g)
+    out = MX1AsymQuantizer.apply(w, clip, 2, False)
+    save("qat_mx1", w=w.numpy(), out=out.detach().numpy())
+
+
 if __name__ == "__main__":
     qat_goldens()
     ptq_goldens()
+    variant_goldens()
     print("done")
