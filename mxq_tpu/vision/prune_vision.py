@@ -1,0 +1,90 @@
+"""Calibration-based pruning/quantization of vision transformers — the
+counterpart of image_classifiers/main.py + prune_utils.py (prune_convnext/vit,
+image_classifiers/main.py:327-332): one calibration batch, per-block Wanda or
+magnitude masks over the 4 linears, sequential re-forward."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mxq_tpu.ptq import prune as prune_lib
+from mxq_tpu.vision import vit
+from mxq_tpu import scheme
+
+
+def _block_inputs(x, p, cfg: vit.ViTConfig):
+    """Activations feeding each linear of one encoder block."""
+    import numpy as np
+    b, t, h = x.shape
+    nh = cfg.num_heads
+    d = h // nh
+    y1 = vit.layer_norm(x, p["ln1"], p["ln1_b"])
+    qkv = (y1 @ p["qkv"]).reshape(b, t, 3, nh, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    att = jax.nn.softmax(jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d), -1)
+    ctx = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, h)
+    x2 = x + ctx @ p["proj"]
+    y2 = vit.layer_norm(x2, p["ln2"], p["ln2_b"])
+    f1 = jax.nn.gelu(y2 @ p["fc1"])
+    return {"qkv": y1, "proj": ctx, "fc1": y2, "fc2": f1}
+
+
+def prune_vit(params: dict, cfg: vit.ViTConfig, images: jax.Array,
+              method: str = "wanda", sparsity: float = 0.5,
+              n: int = 0, m: int = 0) -> dict:
+    """Sequential block-by-block pruning with one calibration batch."""
+    x = vit.patchify(images, cfg.patch_size) @ params["patch_embed"]
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+
+    @jax.jit
+    def prune_block(x, p):
+        inputs = _block_inputs(x, p, cfg)
+        new_p = dict(p)
+        for name in vit.BLOCK_LINEARS:
+            w = p[name]
+            col_sq = jnp.sum(
+                inputs[name].reshape(-1, w.shape[0]).astype(jnp.float32) ** 2,
+                axis=0)
+            if method == "magnitude":
+                keep = prune_lib.magnitude_mask(w, sparsity, n, m)
+            else:
+                keep = prune_lib.wanda_mask(w, col_sq, sparsity, n, m)
+            new_p[name] = w * keep
+        return new_p, vit.block(x, new_p, cfg)
+
+    stacked = params["blocks"]
+    new_stacks = {k: [] for k in stacked}
+    for i in range(cfg.num_layers):
+        p = {k: v[i] for k, v in stacked.items()}
+        new_p, x = prune_block(x, p)
+        for k in stacked:
+            new_stacks[k].append(new_p[k])
+
+    out = dict(params)
+    out["blocks"] = {k: jnp.stack(v) for k, v in new_stacks.items()}
+    return out
+
+
+def quantize_vit(params: dict, cfg: vit.ViTConfig) -> dict:
+    """MXQ quant-dequant of all block linears (beyond-reference: the
+    reference's vision project only prunes)."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for name in vit.BLOCK_LINEARS:
+        blocks[name] = jax.vmap(
+            lambda w: scheme.mxq_fake_quant_ptq(w.T, cfg.scheme).T)(
+                blocks[name])
+    out["blocks"] = blocks
+    return out
+
+
+def check_sparsity(params: dict) -> float:
+    zeros = total = 0
+    for name in vit.BLOCK_LINEARS:
+        w = params["blocks"][name]
+        zeros += float(jnp.sum(w == 0))
+        total += w.size
+    return zeros / max(total, 1)

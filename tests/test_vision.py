@@ -1,0 +1,46 @@
+"""Vision side project tests: ViT forward, Wanda pruning, MXQ quantization."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mxq_tpu.vision import vit, prune_vision
+
+CFG = vit.ViTConfig.tiny()
+
+
+def test_vit_forward():
+    params = vit.init_params(CFG, jax.random.PRNGKey(0))
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    logits = vit.forward(params, imgs, CFG)
+    assert logits.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_prune_vit_wanda():
+    params = vit.init_params(CFG, jax.random.PRNGKey(0))
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    pruned = prune_vision.prune_vit(params, CFG, imgs, sparsity=0.5)
+    s = prune_vision.check_sparsity(pruned)
+    assert abs(s - 0.5) < 0.05
+    logits = vit.forward(pruned, imgs, CFG)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_prune_vit_nm():
+    params = vit.init_params(CFG, jax.random.PRNGKey(0))
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    pruned = prune_vision.prune_vit(params, CFG, imgs, method="magnitude",
+                                    n=2, m=4)
+    w = np.asarray(pruned["blocks"]["qkv"][0])
+    nz = (w.reshape(-1, 4, w.shape[-1]) != 0).sum(1)
+    assert (nz <= 2).all()
+
+
+def test_quantize_vit():
+    params = vit.init_params(CFG, jax.random.PRNGKey(0))
+    q = prune_vision.quantize_vit(params, CFG)
+    w0 = np.asarray(params["blocks"]["fc1"])
+    wq = np.asarray(q["blocks"]["fc1"])
+    assert not np.allclose(w0, wq)
+    assert np.abs(w0 - wq).max() < 0.5
