@@ -34,6 +34,19 @@ from mxq_tpu.config import MXQConfig, DEFAULT_SCHEME
 from mxq_tpu.packfmt import PackedMXQLinear, quantize_pack
 
 
+class StackedPackedRef:
+    """Marker passed to quant_linear inside a scanned decoder: the packed
+    weights stay stacked [L, ...] in HBM and the kernel indexes layer ``idx``
+    via scalar prefetch (no per-layer weight slicing/copies — see
+    ops.mxq_matmul.mxq_matmul_stacked)."""
+
+    __slots__ = ("packed", "idx")
+
+    def __init__(self, packed, idx):
+        self.packed = packed
+        self.idx = idx
+
+
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int = 32000
@@ -180,6 +193,9 @@ def quant_linear(x: jax.Array, w, cfg: LlamaConfig,
             x = scheme.sym_fake_quant_ste(x, cfg.a_bits, groupsize=128)
         else:
             x = scheme.asym_fake_quant_ste(x, cfg.a_bits, groupsize=8)
+    if isinstance(w, StackedPackedRef):
+        from mxq_tpu.ops import mxq_matmul as _mm
+        return _mm.mxq_matmul_stacked(x, w.packed, w.idx, cfg.scheme)
     if isinstance(w, PackedMXQLinear):
         from mxq_tpu.ops import mxq_matmul as _mm
         return _mm.mxq_matmul(x, w, cfg.scheme)
@@ -357,23 +373,34 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
             mask = causal_mask(t)
 
     layer_params = params["layers"]
+    packed_names = [k for k, v in layer_params.items()
+                    if isinstance(v, PackedMXQLinear)]
+    dense_stacks = {k: v for k, v in layer_params.items()
+                    if k not in packed_names}
+    nl = cfg.num_hidden_layers
 
-    def _layer_fn(x, layer, cache):
+    def _layer_fn(x, idx, dense_sl, cache):
+        layer = dict(dense_sl)
+        for k in packed_names:
+            # stacked packed weights stay resident; the kernel indexes them
+            layer[k] = StackedPackedRef(layer_params[k], idx)
         return decoder_layer(x, layer, cfg, cos, sin, mask, cache, cache_pos,
                              train=train)
 
     fn = jax.checkpoint(_layer_fn) if remat else _layer_fn
 
     def body(carry, inputs):
-        layer, cache = inputs
-        return fn(carry, layer, cache)
+        idx, dense_sl, cache = inputs
+        return fn(carry, idx, dense_sl, cache)
 
+    idxs = jnp.arange(nl, dtype=jnp.int32)
     if caches is None:
-        x, _ = jax.lax.scan(lambda c, l: (body(c, (l, None))[0], None),
-                            x, layer_params)
+        x, _ = jax.lax.scan(
+            lambda c, inp: (body(c, (inp[0], inp[1], None))[0], None),
+            x, (idxs, dense_stacks))
         new_caches = None
     else:
-        x, new_caches = jax.lax.scan(body, x, (layer_params, caches))
+        x, new_caches = jax.lax.scan(body, x, (idxs, dense_stacks, caches))
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

@@ -194,3 +194,113 @@ def mxq_dequant_weight(p: PackedMXQLinear,
     """Dequantize the full weight to bf16 [K, O] (for prefill-by-XLA-matmul or
     debugging). Uses the jnp reference dequant — XLA fuses the unpack."""
     return packfmt.unpack_dequant(p, cfg).astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# Stacked-layer variant: index layer weights inside the kernel
+# ---------------------------------------------------------------------------
+#
+# Running a scanned decoder over stacked per-layer weights makes XLA
+# dynamic-slice each layer's weights into a fresh buffer before the kernel
+# reads them — doubling HBM traffic for a bandwidth-bound op. Here the
+# packed arrays stay stacked ([L, R, N] viewed as [L*R, N]) and the layer
+# index arrives as a scalar-prefetch argument used by the BlockSpec index
+# maps, so the kernel DMAs directly from the resident stack.
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_b", "block_n", "interpret",
+                                    "out_dtype", "n_kt"))
+def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
+                               s4row, z4row, *, block_b, block_n, interpret,
+                               out_dtype, n_kt):
+    b = x2.shape[0]
+    n = meta2.shape[1]
+    grid = (b // block_b, n // block_n, n_kt)
+    kernel = functools.partial(_stacked_kernel, out_dtype=out_dtype,
+                               n_kt=n_kt)
+
+    def wspec(rows):
+        # scalar-prefetch refs arrive AFTER the grid indices
+        return pl.BlockSpec(
+            (rows, block_n),
+            lambda bi, ni, ki, s: (s[0] * n_kt + ki, ni),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, K2T), lambda bi, ni, ki, s: (bi, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, K4T), lambda bi, ni, ki, s: (bi, ki),
+                         memory_space=pltpu.VMEM),
+            wspec(W2_ROWS),
+            wspec(W4_ROWS),
+            wspec(NB_TILE),
+            wspec(NB_TILE),
+            wspec(NB_TILE),
+            pl.BlockSpec((1, block_n), lambda bi, ni, ki, s: (s[0], ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda bi, ni, ki, s: (s[0], ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, block_n),
+                               lambda bi, ni, ki, s: (bi, ni)),
+        scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        interpret=interpret,
+    )(jnp.asarray([idx], jnp.int32), x2, x4, w2, w4, meta2, qscale, qmin,
+      s4row, z4row)
+
+
+def _stacked_kernel(idx_ref, *args, out_dtype, n_kt):
+    del idx_ref  # consumed by the index maps
+    _kernel(*args, out_dtype=out_dtype, n_kt=n_kt)
+
+
+def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
+                       cfg: MXQConfig = DEFAULT_SCHEME,
+                       block_b: int = 256, block_n: int = N_LANE,
+                       interpret: bool | None = None) -> jax.Array:
+    """y = x @ dequant(p[layer_idx]) where ``p`` holds stacked [L, ...]
+    leaves. ``layer_idx`` may be a traced scalar (scan carry)."""
+    if interpret is None:
+        interpret = _on_cpu()
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, x.shape[-1]))
+    b = xb.shape[0]
+    bb = min(block_b, _round_up(b, 8))
+    bp = _round_up(b, bb)
+    xb = jnp.pad(xb, ((0, bp - b), (0, 0)))
+    # pad_inputs_split against the per-layer geometry
+    l, nbp, n = p.meta2.shape
+    n_kt = nbp // NB_TILE
+    single = PackedMXQLinear(
+        w2=p.w2.reshape(l * p.w2.shape[1], n),
+        w4=p.w4.reshape(l * p.w4.shape[1], n),
+        meta2=p.meta2.reshape(l * nbp, n),
+        qscale=p.qscale.reshape(l * nbp, n),
+        qmin=p.qmin.reshape(l * nbp, n),
+        smeta4=p.smeta4.reshape(l * 8, n),
+        in_features=p.in_features, out_features=p.out_features)
+    geom = PackedMXQLinear(
+        w2=p.w2[0], w4=p.w4[0], meta2=p.meta2[0], qscale=p.qscale[0],
+        qmin=p.qmin[0], smeta4=p.smeta4[0],
+        in_features=p.in_features, out_features=p.out_features)
+    x2, x4 = packfmt.pad_inputs_split(xb, geom, cfg)
+    x2 = permute_x2(x2, n_kt)
+    x4 = permute_x4(x4, n_kt)
+    s4 = single.smeta4.reshape(l, 8, n)[:, 0, :]   # [L, N]
+    z4 = single.smeta4.reshape(l, 8, n)[:, 1, :]
+    y = _mxq_matmul_stacked_padded(
+        layer_idx, x2.astype(jnp.bfloat16), x4.astype(jnp.bfloat16),
+        single.w2, single.w4, single.meta2, single.qscale, single.qmin,
+        s4, z4, block_b=bb, block_n=block_n, interpret=interpret,
+        out_dtype=jnp.float32, n_kt=n_kt)
+    return y[:b, : p.out_features].astype(x.dtype).reshape(
+        lead + (p.out_features,))
