@@ -206,8 +206,18 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
     quant = "k_codes" in caches
     group = (kbuf.shape[-1] // caches["k_scale"].shape[-1]) if quant else None
 
+    from mxq_tpu.packfmt import PackedMXQLinear
+    layer_params = params["layers"]
+    packed_names = [k for k, v in layer_params.items()
+                    if isinstance(v, PackedMXQLinear)]
+    dense_stacks = {k: v for k, v in layer_params.items()
+                    if k not in packed_names}
+
     def body(x, inputs):
-        layer, cache = inputs
+        idx, dense_sl, cache = inputs
+        layer = dict(dense_sl)
+        for nm in packed_names:
+            layer[nm] = llama.StackedPackedRef(layer_params[nm], idx)
         h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
         b_, t, _ = h.shape
         nh, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -263,7 +273,9 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
         x = x + llama.mlp(h2, layer, cfg)
         return x, cache
 
-    x, new_caches = jax.lax.scan(body, x, (params["layers"], caches))
+    nl = cfg.num_hidden_layers
+    x, new_caches = jax.lax.scan(
+        body, x, (jnp.arange(nl, dtype=jnp.int32), dense_stacks, caches))
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
     logits = (x @ head) if head is not None else (x @ params["embed_tokens"].T)
