@@ -428,3 +428,30 @@ def cross_entropy_loss(logits, labels, ignore_index: int = -100):
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def sequence_classification_forward(params, input_ids, cfg: LlamaConfig,
+                                    num_labels: int, pad_token_id: int = 0):
+    """LlamaForSequenceClassification (modeling_llama_quant.py:972-1092):
+    score head on the LAST non-pad token's hidden state. ``params`` must hold
+    a "score" head [hidden, num_labels] (no bias)."""
+    b, t = input_ids.shape
+    x = params["embed_tokens"][input_ids]
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    cos, sin = rope_tables(cfg, positions)
+    cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
+    mask = causal_mask(t)
+
+    layer_params = params["layers"]
+
+    def body(carry, layer):
+        out, _ = decoder_layer(carry, layer, cfg, cos, sin, mask)
+        return out, None
+
+    x, _ = jax.lax.scan(body, x, layer_params)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    logits = x @ params["score"]                      # [B, T, num_labels]
+    # last non-pad position per row (modeling_llama_quant.py:1047-1056)
+    nonpad = (input_ids != pad_token_id).astype(jnp.int32)
+    last = jnp.maximum(jnp.sum(nonpad, axis=-1) - 1, 0)
+    return jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0]

@@ -150,3 +150,20 @@ class TestPackedModel:
         rel = np.abs(np.asarray(lf) - np.asarray(lu)).max() / (
             np.abs(np.asarray(lu)).max() + 1e-9)
         assert rel < 2e-2, rel
+
+
+class TestSeqClassification:
+    def test_head_uses_last_nonpad_token(self):
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        params["score"] = jax.random.normal(jax.random.PRNGKey(1),
+                                            (cfg.hidden_size, 3)) * 0.02
+        ids = jnp.asarray([[5, 6, 7, 0, 0], [1, 2, 3, 4, 5]])
+        out = llama.sequence_classification_forward(params, ids, cfg, 3)
+        assert out.shape == (2, 3)
+        # padding after the last real token must not affect the score
+        ids2 = jnp.asarray([[5, 6, 7, 0, 0, 0]])
+        out2 = llama.sequence_classification_forward(
+            params, ids2, cfg, 3)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]),
+                                   rtol=2e-3, atol=2e-3)
