@@ -17,20 +17,11 @@ import numpy as np
 from mxq_tpu import packfmt
 from mxq_tpu.config import MXQConfig
 from mxq_tpu.ops import mxq_matmul as mm
+from mxq_tpu.utils.benchlib import time_op
+from mxq_tpu.utils.profiling import Roofline
 
 CFG = MXQConfig()
 V5E_HBM_GBPS = 819.0
-
-
-def bench(fn, *args, iters=50, warmup=5):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
 
 
 def packed_bytes(p):
@@ -56,27 +47,23 @@ def main():
             print(f"[{status}] O={o} K={k} B={b}: max_abs_err={err:.4f} rel={rel:.4g}")
 
         wbf = jax.device_put(wdq_ref)
-        xb1 = jax.device_put(jnp.ones((1, k), jnp.bfloat16))
-        f_bf = jax.jit(lambda x, w: x @ w)
-        t_bf = bench(f_bf, xb1, wbf)
-        f_q = jax.jit(lambda x: mm.mxq_matmul(x, p, CFG, interpret=False))
-        t_q = bench(f_q, xb1)
         pb = packed_bytes(p)
-        bw_q = pb / t_q / 1e9
-        bw_bf = (o * k * 2) / t_bf / 1e9
-        print(f"  GEMV B=1: bf16 {t_bf*1e6:8.1f}us ({bw_bf:6.1f} GB/s) | "
-              f"mxq {t_q*1e6:8.1f}us ({bw_q:6.1f} GB/s wt-bytes, "
-              f"{100*bw_q/V5E_HBM_GBPS:4.1f}% of HBM peak) | "
-              f"speedup {t_bf/t_q:4.2f}x | bits/w {8*pb/(o*k):4.2f}")
-
-        for b in [128, 512]:
-            xb = jax.device_put(jnp.ones((b, k), jnp.bfloat16))
-            t_bfb = bench(f_bf, xb, wbf)
-            t_qb = bench(f_q, xb)
-            fl = 2 * b * o * k
-            print(f"  GEMM B={b}: bf16 {t_bfb*1e6:8.1f}us ({fl/t_bfb/1e12:5.1f} TF) "
-                  f"| mxq {t_qb*1e6:8.1f}us ({fl/t_qb/1e12:5.1f} TF) "
-                  f"| ratio {t_qb/t_bfb:4.2f}x")
+        for b in [1, 8, 128, 512]:
+            x0 = jnp.ones((b, k), jnp.bfloat16)
+            t_bf = time_op(lambda w, x: ((x @ w)[:, :k] * 1e-6
+                                         ).astype(jnp.bfloat16),
+                           x0, const=wbf)
+            t_q = time_op(lambda c, x: (mm.mxq_matmul(x, c, CFG,
+                                                      interpret=False)[:, :k]
+                                        * 1e-6).astype(jnp.bfloat16),
+                          x0, const=p)
+            rl = Roofline("mxq_gemm", bytes_accessed=pb + 2 * b * (k + o),
+                          flops=2 * b * o * k).report(t_q)
+            print(f"  B={b:4d}: bf16 {t_bf*1e6:7.1f}us "
+                  f"({o*k*2/t_bf/1e9:6.1f} GB/s) | "
+                  f"mxq {t_q*1e6:7.1f}us ({pb/t_q/1e9:6.1f} GB/s wt, "
+                  f"{rl['pct_of_roofline']:5.1f}% roofline, {rl['bound']}-bound)"
+                  f" | speedup {t_bf/t_q:5.2f}x | bits/w {8*pb/(o*k):4.2f}")
 
 
 if __name__ == "__main__":
