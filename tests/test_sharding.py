@@ -72,3 +72,29 @@ def test_packed_params_shardable():
     ref, _ = llama.forward(packed, ids, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_packed_decode_with_cache():
+    """Multi-chip serving path: packed weights tp/fsdp-sharded, KV cache
+    sharded over heads (tp), one decode step on the virtual mesh."""
+    from mxq_tpu.models.llama import quantize_params_packed
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = llama.LlamaConfig.tiny(num_hidden_layers=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    packed = quantize_params_packed(params, cfg, fuse=True)
+    ref_logits, _ = llama.forward(packed, jnp.arange(4)[None].repeat(2, 0),
+                                  cfg)
+
+    mesh = sharding.make_mesh(dp=1, fsdp=2, tp=2)
+    sp = sharding.shard_params(packed, mesh, packed=True)
+    caches = llama.init_cache(cfg, 2, 16, dtype=jnp.float32)
+    cache_spec = P(None, None, None, "tp", None)  # [L, B, S, H, D]
+    caches = jax.tree_util.tree_map(
+        lambda c: jax.device_put(c, NamedSharding(mesh, cache_spec)), caches)
+    ids = jnp.arange(4)[None].repeat(2, 0)
+    logits, new_caches = jax.jit(
+        lambda p, i, c: llama.forward(p, i, cfg, caches=c, cache_pos=0))(
+            sp, ids, caches)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-3, atol=2e-3)
