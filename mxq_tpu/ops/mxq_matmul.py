@@ -37,6 +37,12 @@ K4T = W4_ROWS * 8
 
 def _kernel(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
             s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, n_kt):
+    _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+                 s4_ref[:], z4_ref[:], out_ref, acc_ref, out_dtype=out_dtype)
+
+
+def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+                 s4, z4, out_ref, acc_ref, *, out_dtype):
     """Slab-major dequant-matmul step.
 
     All sub-word unpacking is constant-shift + mask over full [rows, NL]
@@ -76,8 +82,7 @@ def _kernel(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
     acc_ref[:] += jnp.dot(x2_ref[:], w2dq, preferred_element_type=jnp.float32)
 
     # ---- 4-bit plane ----
-    s4 = s4_ref[:]                                     # [1, NL] f32
-    sz4 = s4 * z4_ref[:]
+    sz4 = s4 * z4                                      # [1, NL] f32
     w4 = w4_ref[:]                                     # [32, NL] int32
     slabs4 = []
     for j in range(8):
@@ -212,7 +217,7 @@ def mxq_dequant_weight(p: PackedMXQLinear,
                    static_argnames=("block_b", "block_n", "interpret",
                                     "out_dtype", "n_kt"))
 def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
-                               s4row, z4row, *, block_b, block_n, interpret,
+                               smeta4, *, block_b, block_n, interpret,
                                out_dtype, n_kt):
     b = x2.shape[0]
     n = meta2.shape[1]
@@ -240,9 +245,7 @@ def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
             wspec(NB_TILE),
             wspec(NB_TILE),
             wspec(NB_TILE),
-            pl.BlockSpec((1, block_n), lambda bi, ni, ki, s: (s[0], ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda bi, ni, ki, s: (s[0], ni),
+            pl.BlockSpec((8, block_n), lambda bi, ni, ki, s: (s[0], ni),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_b, block_n),
@@ -255,12 +258,17 @@ def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         interpret=interpret,
     )(jnp.asarray([idx], jnp.int32), x2, x4, w2, w4, meta2, qscale, qmin,
-      s4row, z4row)
+      smeta4)
 
 
-def _stacked_kernel(idx_ref, *args, out_dtype, n_kt):
+def _stacked_kernel(idx_ref, x2_ref, x4_ref, w2_ref, w4_ref, meta_ref,
+                    qs_ref, qm_ref, sm_ref, out_ref, acc_ref, *, out_dtype,
+                    n_kt):
     del idx_ref  # consumed by the index maps
-    _kernel(*args, out_dtype=out_dtype, n_kt=n_kt)
+    sm = sm_ref[:]                  # [8, NL]: row 0 = 4b scale, row 1 = zero
+    _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+                 sm[0:1, :], sm[1:2, :], out_ref, acc_ref,
+                 out_dtype=out_dtype)
 
 
 def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
@@ -295,12 +303,10 @@ def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
     x2, x4 = packfmt.pad_inputs_split(xb, geom, cfg)
     x2 = permute_x2(x2, n_kt)
     x4 = permute_x4(x4, n_kt)
-    s4 = single.smeta4.reshape(l, 8, n)[:, 0, :]   # [L, N]
-    z4 = single.smeta4.reshape(l, 8, n)[:, 1, :]
     y = _mxq_matmul_stacked_padded(
         layer_idx, x2.astype(jnp.bfloat16), x4.astype(jnp.bfloat16),
         single.w2, single.w4, single.meta2, single.qscale, single.qmin,
-        s4, z4, block_b=bb, block_n=block_n, interpret=interpret,
+        single.smeta4, block_b=bb, block_n=block_n, interpret=interpret,
         out_dtype=jnp.float32, n_kt=n_kt)
     return y[:b, : p.out_features].astype(x.dtype).reshape(
         lead + (p.out_features,))
