@@ -233,13 +233,12 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
             v = llama.quant_linear(h, layer["v_proj"], cfg).reshape(b_, t, nkv, d)
         q, k = llama.apply_rope(q, k, cos, sin)
 
-        onehot = (kpos == positions[:, None]).astype(jnp.float32)  # [B, S]
-
-        def scatter(buf, val, scale_like=False):
-            # buf [B, S, H, Dg], val [B, 1, H, Dg]
-            o = onehot[:, :, None, None].astype(jnp.float32)
-            return (buf.astype(jnp.float32) * (1 - o)
-                    + val.astype(jnp.float32) * o).astype(buf.dtype)
+        def scatter(buf, val):
+            # buf [B, S, H, Dg], val [B, 1, H, Dg]: write each slot's new
+            # token at its OWN position (indexed scatter — writes B rows,
+            # not a one-hot rewrite of the whole cache)
+            return buf.at[jnp.arange(buf.shape[0]), positions].set(
+                val[:, 0].astype(buf.dtype))
 
         if quant:
             kc, ks = kvcache.quantize_kv(k, group)
