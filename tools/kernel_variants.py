@@ -186,7 +186,7 @@ def main():
             print(f"{name:12s}: FAIL {str(e).splitlines()[0][:160]}")
 
 
-if __name__ == "__main__" and "--f-only" not in sys.argv:
+if __name__ == "__main__" and "--f-only" not in sys.argv and "--g-only" not in sys.argv:
     main()
 
 
@@ -296,5 +296,86 @@ def main_f():
         print(f"F_slabmajor : FAIL {str(e).splitlines()[0][:300]}")
 
 
-if __name__ == "__main__" and "--f-only" in sys.argv:
+if __name__ == "__main__" and "--f-only" in sys.argv and "--g-only" not in sys.argv:
     main_f()
+
+
+# G: slab-major with bf16 dequant arithmetic (halved vector width if VPU
+# packs bf16; otherwise neutral)
+def kernel_g(x2, x4, w2r, w4r, meta, qs, qm, s4, z4, out, acc):
+    kt = pl.program_id(2)
+    @pl.when(kt == 0)
+    def _(): acc[:] = jnp.zeros_like(acc)
+    meta_w = meta[:]
+    qsf = qs[:].astype(jnp.float32)
+    qmf = qm[:].astype(jnp.float32)
+    s_parts, z_parts = [], []
+    for i in range(3):
+        zc_i = (jax.lax.shift_right_logical(meta_w, 2 * i) & 0x3)
+        sc_i = (jax.lax.shift_right_logical(meta_w, 6 + 8 * i) & 0xFF)
+        s_parts.append(qsf * sc_i.astype(jnp.float32) + qmf)
+        z_parts.append(zc_i)
+    s_eff = jnp.concatenate(s_parts, axis=0).astype(jnp.bfloat16)
+    zc = jnp.concatenate(z_parts, axis=0).astype(jnp.bfloat16)
+    neg_sz = s_eff * zc
+    w2w = w2r[:]
+    slabs = []
+    for j in range(16):
+        c_j = (jax.lax.shift_right_logical(w2w, 2 * j) & 0x3)
+        slabs.append(s_eff * c_j.astype(jnp.bfloat16) - neg_sz)
+    w2dq = jnp.concatenate(slabs, axis=0)
+    acc[:] += jnp.dot(x2[:], w2dq, preferred_element_type=jnp.float32)
+    w4w = w4r[:]
+    s4b = s4[:].astype(jnp.bfloat16)
+    sz4 = s4b * z4[:].astype(jnp.bfloat16)
+    slabs4 = []
+    for j in range(8):
+        c_j = (jax.lax.shift_right_logical(w4w, 4 * j) & 0xF)
+        slabs4.append(s4b * c_j.astype(jnp.bfloat16) - sz4)
+    w4dq = jnp.concatenate(slabs4, axis=0)
+    acc[:] += jnp.dot(x4[:], w4dq, preferred_element_type=jnp.float32)
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _(): out[:] = acc[:]
+
+
+def main_g():
+    o, k, b = 4096, 4096, 8
+    w = jax.random.normal(jax.random.PRNGKey(0), (o, k), jnp.float32)
+    p = jax.device_put(packfmt.quantize_pack(w, CFG))
+    pb = (p.w2.size + p.w4.size + p.meta2.size) * 4 + (p.qscale.size + p.qmin.size) * 2
+    nbp, n = p.meta2.shape
+    n_kt = nbp // 16
+    x0 = jnp.ones((b, k), jnp.bfloat16)
+    from mxq_tpu.ops import mxq_matmul as mmod
+    wdq = packfmt.unpack_dequant(p, CFG).astype(jnp.bfloat16)
+    y_ref = np.asarray(x0 @ wdq, dtype=np.float32)
+    for name, kern in [("F_prod(f32)", None), ("G_bf16", kernel_g)]:
+        if kern is None:
+            def stepf(c, x):
+                return (mmod.mxq_matmul(x, c, CFG, interpret=False)[:, :k] * 1e-6).astype(jnp.bfloat16)
+            t = time_op(stepf, x0, const=p)
+            y = mmod.mxq_matmul(x0, p, CFG, interpret=False)
+            ok = np.allclose(np.asarray(y), y_ref, rtol=3e-2, atol=3e-1)
+        else:
+            call = make_call(kern, b, nbp, n)
+            def stepf(c, x):
+                x2, x4 = packfmt.pad_inputs_split(x, p, CFG)
+                x2 = mmod.permute_x2(x2, n_kt); x4 = mmod.permute_x4(x4, n_kt)
+                y = call(x2, x4, c.w2, c.w4, c.meta2, c.qscale, c.qmin,
+                         c.smeta4[0:1], c.smeta4[1:2])
+                return (y[:, :k] * 1e-6).astype(jnp.bfloat16)
+            try:
+                x2, x4 = packfmt.pad_inputs_split(x0, p, CFG)
+                y = call(mmod.permute_x2(x2, n_kt), mmod.permute_x4(x4, n_kt),
+                         p.w2, p.w4, p.meta2, p.qscale, p.qmin,
+                         p.smeta4[0:1], p.smeta4[1:2])
+                ok = np.allclose(np.asarray(y), y_ref, rtol=3e-2, atol=3e-1)
+                t = time_op(stepf, x0, const=p)
+            except Exception as e:
+                print(f"{name}: FAIL {str(e).splitlines()[0][:200]}")
+                continue
+        print(f"{name:12s}: {t*1e6:7.1f}us ({pb/t/1e9:6.1f} GB/s, {100*pb/t/1e9/819:5.1f}% peak) correct={ok}")
+
+
+if __name__ == "__main__" and "--g-only" in sys.argv:
+    main_g()
