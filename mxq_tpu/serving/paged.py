@@ -1,0 +1,321 @@
+"""Paged KV cache + paged-attention decode — the production serving memory
+layout (vLLM-style), with the TPU kernel from
+``jax.experimental.pallas.ops.tpu.paged_attention``.
+
+No reference counterpart: the reference's KV handling is a plain per-layer
+tuple concat (modeling_llama_quant.py:347-352). Paging removes the
+max_len x num_slots dense reservation — sequences allocate fixed-size pages
+on demand from a shared pool, so long and short requests coexist without
+fragmentation.
+
+Layout:
+  k_pages / v_pages : [L, KVH, total_pages, page_size, D]   (bf16)
+  page_tables       : [num_slots, pages_per_seq] int32 (host-managed)
+  lengths           : [num_slots] int32
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mxq_tpu.models import llama
+
+
+@dataclasses.dataclass
+class PagedPool:
+    """Device KV pool + host-side page accounting."""
+
+    k_pages: jax.Array        # [L, KVH, P, ps, D]
+    v_pages: jax.Array
+    page_size: int
+    page_tables: np.ndarray   # [slots, pages_per_seq] int32 (host)
+    lengths: np.ndarray       # [slots] int32 (host)
+    free_pages: list          # host free list
+
+    @classmethod
+    def create(cls, cfg: llama.LlamaConfig, num_slots: int, total_pages: int,
+               page_size: int = 64, max_len: int = 2048,
+               dtype=jnp.bfloat16) -> "PagedPool":
+        l, kvh, d = (cfg.num_hidden_layers, cfg.num_key_value_heads,
+                     cfg.head_dim)
+        pages_per_seq = max_len // page_size
+        shape = (l, kvh, total_pages, page_size, d)
+        return cls(
+            k_pages=jnp.zeros(shape, dtype),
+            v_pages=jnp.zeros(shape, dtype),
+            page_size=page_size,
+            page_tables=np.zeros((num_slots, pages_per_seq), np.int32),
+            lengths=np.zeros(num_slots, np.int32),
+            free_pages=list(range(total_pages - 1, 0, -1)),  # page 0 = null
+            )
+
+    # -- host-side page accounting -------------------------------------
+    def ensure_capacity(self, slot: int, new_len: int) -> None:
+        need = -(-new_len // self.page_size)
+        have = int(np.sum(self.page_tables[slot] != 0))
+        while have < need:
+            if not self.free_pages:
+                raise RuntimeError("KV pool exhausted")
+            self.page_tables[slot, have] = self.free_pages.pop()
+            have += 1
+
+    def release(self, slot: int) -> None:
+        for j, pg in enumerate(self.page_tables[slot]):
+            if pg != 0:
+                self.free_pages.append(int(pg))
+            self.page_tables[slot, j] = 0
+        self.lengths[slot] = 0
+
+
+def write_tokens(k_pages, v_pages, k_new, v_new, page_ids, offsets,
+                 layer_idx=None):
+    """Write one token per slot into the pool.
+
+    k_new/v_new: [B, KVH, D]; page_ids/offsets: [B] int32. Operates on the
+    whole [L, ...] pool when layer_idx is given, else on one layer's
+    [KVH, P, ps, D] view.
+    """
+    b = k_new.shape[0]
+    bidx = jnp.arange(b)
+
+    def wr(pages, val):
+        # pages [KVH, P, ps, D]; scatter [B] tokens at (h, page_ids[b],
+        # offsets[b]) for all heads
+        return pages.at[:, page_ids[bidx], offsets[bidx]].set(
+            val.transpose(1, 0, 2).astype(pages.dtype))
+
+    if layer_idx is None:
+        return wr(k_pages, k_new), wr(v_pages, v_new)
+    kl = jax.lax.dynamic_index_in_dim(k_pages, layer_idx, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v_pages, layer_idx, 0, keepdims=False)
+    kl, vl = wr(kl, k_new), wr(vl, v_new)
+    k_pages = jax.lax.dynamic_update_slice(
+        k_pages, kl[None].astype(k_pages.dtype),
+        (layer_idx,) + (0,) * (k_pages.ndim - 1))
+    v_pages = jax.lax.dynamic_update_slice(
+        v_pages, vl[None].astype(v_pages.dtype),
+        (layer_idx,) + (0,) * (v_pages.ndim - 1))
+    return k_pages, v_pages
+
+
+def paged_attend(q, k_pages_l, v_pages_l, lengths, page_indices,
+                 pages_per_compute_block: int = 4):
+    """q: [B, NH, D]; k/v_pages_l: [KVH, P, ps, D] (one layer).
+    Uses the Pallas paged-attention kernel on TPU, a jnp gather reference on
+    CPU (also the correctness oracle)."""
+    if jax.default_backend() != "cpu":
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention)
+        return paged_attention(
+            q, k_pages_l, v_pages_l, lengths, page_indices,
+            pages_per_compute_block=pages_per_compute_block)
+    return _paged_attend_reference(q, k_pages_l, v_pages_l, lengths,
+                                   page_indices)
+
+
+def _paged_attend_reference(q, k_pages_l, v_pages_l, lengths, page_indices):
+    b, nh, d = q.shape
+    kvh, p, ps, _ = k_pages_l.shape
+    pps = page_indices.shape[1]
+    # gather each sequence's pages -> [B, KVH, pps*ps, D]
+    k = k_pages_l[:, page_indices].transpose(1, 0, 2, 3, 4).reshape(
+        b, kvh, pps * ps, d)
+    v = v_pages_l[:, page_indices].transpose(1, 0, 2, 3, 4).reshape(
+        b, kvh, pps * ps, d)
+    rep = nh // kvh
+    k = jnp.repeat(k, rep, axis=1).astype(jnp.float32)
+    v = jnp.repeat(v, rep, axis=1).astype(jnp.float32)
+    scores = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), k) / np.sqrt(d)
+    pos = jnp.arange(pps * ps)[None, None, :]
+    mask = pos < lengths[:, None, None]
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhs,bhsd->bhd", probs, v).astype(q.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
+def paged_decode_step(params, k_pages, v_pages, tokens, positions, lengths,
+                      page_tables, page_ids, offsets, cfg: llama.LlamaConfig):
+    """One decode token for every slot against the paged pool.
+
+    tokens [B,1]; positions [B] (write positions); lengths [B] (AFTER this
+    token); page_ids/offsets [B] (precomputed from positions on host).
+    Returns (next_token_logits [B, V], k_pages, v_pages).
+    """
+    b = tokens.shape[0]
+    x = params["embed_tokens"][tokens]                  # [B, 1, H]
+    cos, sin = llama.rope_tables(cfg, positions[:, None].astype(jnp.float32))
+    cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
+
+    from mxq_tpu.packfmt import PackedMXQLinear
+    layer_params = params["layers"]
+    packed_names = [k for k, v in layer_params.items()
+                    if isinstance(v, PackedMXQLinear)]
+    dense_stacks = {k: v for k, v in layer_params.items()
+                    if k not in packed_names}
+    nh, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+
+    def body(carry, inputs):
+        x, k_pages, v_pages = carry
+        idx, dense_sl = inputs
+        layer = dict(dense_sl)
+        for nm in packed_names:
+            layer[nm] = llama.StackedPackedRef(layer_params[nm], idx)
+
+        h = llama.rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        if "qkv_proj" in layer:
+            qkv = llama.quant_linear(h, layer["qkv_proj"], cfg)
+            q = qkv[..., : nh * d].reshape(b, 1, nh, d)
+            k = qkv[..., nh * d:(nh + nkv) * d].reshape(b, 1, nkv, d)
+            v = qkv[..., (nh + nkv) * d:].reshape(b, 1, nkv, d)
+        else:
+            q = llama.quant_linear(h, layer["q_proj"], cfg).reshape(b, 1, nh, d)
+            k = llama.quant_linear(h, layer["k_proj"], cfg).reshape(b, 1, nkv, d)
+            v = llama.quant_linear(h, layer["v_proj"], cfg).reshape(b, 1, nkv, d)
+        q, k = llama.apply_rope(q, k, cos, sin)
+
+        k_pages, v_pages = write_tokens(k_pages, v_pages, k[:, 0], v[:, 0],
+                                        page_ids, offsets, layer_idx=idx)
+        kl = jax.lax.dynamic_index_in_dim(k_pages, idx, 0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(v_pages, idx, 0, keepdims=False)
+        ctx = paged_attend(q[:, 0], kl, vl, lengths, page_tables)
+        ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
+        x = x + llama.quant_linear(ctx, layer["o_proj"], cfg)
+        h2 = llama.rms_norm(x, layer["post_attention_layernorm"],
+                            cfg.rms_norm_eps)
+        x = x + llama.mlp(h2, layer, cfg)
+        return (x, k_pages, v_pages), None
+
+    idxs = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
+    (x, k_pages, v_pages), _ = jax.lax.scan(
+        body, (x, k_pages, v_pages), (idxs, dense_stacks))
+    x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    logits = (x @ head) if head is not None else (x @ params["embed_tokens"].T)
+    return logits[:, 0].astype(jnp.float32), k_pages, v_pages
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
+def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages,
+                  cfg: llama.LlamaConfig):
+    """Prefill one prompt [1, T_bucket] and scatter its KV into the slot's
+    pages. ``slot_pages``: [T_bucket // page_size] int32 page ids. Returns
+    (first generated token logits argmax, k_pages, v_pages)."""
+    t = ids.shape[1]
+    ps = k_pages.shape[3]
+    caches = llama.init_cache(cfg, 1, t, dtype=k_pages.dtype)
+    qpos = jnp.arange(t)[:, None]
+    kpos = jnp.arange(t)[None, :]
+    neg = jnp.finfo(jnp.float32).min
+    mask = jnp.where((kpos <= qpos) & (kpos < length), 0.0, neg)[None, None]
+    logits, caches = llama.forward(params, ids, cfg, caches=caches,
+                                   cache_pos=0, mask=mask)
+    # caches: [L, 1, T, KVH, D] -> pages [L, KVH, T/ps, ps, D]
+    def scatter(pages, buf):
+        chunk = buf[:, 0].reshape(buf.shape[0], t // ps, ps,
+                                  buf.shape[3], buf.shape[4])
+        chunk = chunk.transpose(0, 3, 1, 2, 4)       # [L, KVH, T/ps, ps, D]
+        return pages.at[:, :, slot_pages].set(chunk.astype(pages.dtype))
+
+    k_pages = scatter(k_pages, caches["k"])
+    v_pages = scatter(v_pages, caches["v"])
+    first = jnp.argmax(logits[0, length - 1]).astype(jnp.int32)
+    return first, k_pages, v_pages
+
+
+class PagedEngine:
+    """Continuous batching over the paged pool (same host protocol as
+    engine.Engine, vLLM-style memory management)."""
+
+    def __init__(self, params, cfg: llama.LlamaConfig, num_slots: int = 8,
+                 total_pages: int = 512, page_size: int = 64,
+                 max_len: int = 2048, prefill_bucket: int = 128):
+        self.params = params
+        self.cfg = cfg
+        self.pool = PagedPool.create(cfg, num_slots, total_pages, page_size,
+                                     max_len)
+        self.num_slots = num_slots
+        self.prefill_bucket = prefill_bucket
+        self.slot_req = [None] * num_slots
+        self.queue: list = []
+        self._uid = 0
+
+    def submit(self, prompt, max_new_tokens=64, eos_token_id=None):
+        from mxq_tpu.serving.engine import Request
+        req = Request(self._uid, np.asarray(prompt, np.int32),
+                      max_new_tokens, eos_token_id)
+        self._uid += 1
+        self.queue.append(req)
+        return req
+
+    def _admit(self):
+        ps = self.pool.page_size
+        for slot in range(self.num_slots):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            t = len(req.prompt)
+            bucket = max(self.prefill_bucket,
+                         -(-t // ps) * ps)
+            self.pool.ensure_capacity(slot, bucket)
+            npages = bucket // ps
+            slot_pages = jnp.asarray(self.pool.page_tables[slot][:npages])
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :t] = req.prompt
+            first, self.pool.k_pages, self.pool.v_pages = paged_prefill(
+                self.params, self.pool.k_pages, self.pool.v_pages,
+                jnp.asarray(ids), t, slot_pages, self.cfg)
+            req.generated = [int(first)]
+            self.slot_req[slot] = req
+            self.pool.lengths[slot] = t
+
+    def step(self):
+        self._admit()
+        active = [s for s, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return []
+        ps = self.pool.page_size
+        b = self.num_slots
+        tokens = np.zeros((b, 1), np.int32)
+        positions = np.zeros(b, np.int32)
+        for s in active:
+            tokens[s, 0] = self.slot_req[s].generated[-1]
+            positions[s] = self.pool.lengths[s]
+            self.pool.ensure_capacity(s, int(positions[s]) + 1)
+        page_ids = self.pool.page_tables[np.arange(b), positions // ps]
+        offsets = positions % ps
+        lengths_after = positions + 1
+
+        logits, self.pool.k_pages, self.pool.v_pages = paged_decode_step(
+            self.params, self.pool.k_pages, self.pool.v_pages,
+            jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(lengths_after), jnp.asarray(self.pool.page_tables),
+            jnp.asarray(page_ids), jnp.asarray(offsets), self.cfg)
+        nxt = np.asarray(jnp.argmax(logits, axis=-1))
+
+        finished = []
+        for s in active:
+            r = self.slot_req[s]
+            r.generated.append(int(nxt[s]))
+            self.pool.lengths[s] += 1
+            hit_eos = (r.eos_token_id is not None
+                       and r.generated[-1] == r.eos_token_id)
+            if len(r.generated) > r.max_new_tokens or hit_eos:
+                r.done = True
+                finished.append(r)
+                self.pool.release(s)
+                self.slot_req[s] = None
+        return finished
+
+    def run(self):
+        done = []
+        while self.queue or any(r is not None for r in self.slot_req):
+            done.extend(self.step())
+        return done
