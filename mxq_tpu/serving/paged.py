@@ -109,11 +109,15 @@ def paged_attend(q, k_pages_l, v_pages_l, lengths, page_indices,
     """q: [B, NH, D]; k/v_pages_l: [KVH, P, ps, D] (one layer).
     Uses the Pallas paged-attention kernel on TPU, a jnp gather reference on
     CPU (also the correctness oracle)."""
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu" and q.shape[-1] % 128 == 0:
+        # (the pallas kernel needs lane-aligned head_dim; smaller test
+        # configs use the reference path)
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention)
+        # the pallas kernel computes raw q.k — pre-scale q by 1/sqrt(d)
+        qs = (q.astype(jnp.float32) / np.sqrt(q.shape[-1])).astype(q.dtype)
         return paged_attention(
-            q, k_pages_l, v_pages_l, lengths, page_indices,
+            qs, k_pages_l, v_pages_l, lengths, page_indices,
             pages_per_compute_block=pages_per_compute_block)
     return _paged_attend_reference(q, k_pages_l, v_pages_l, lengths,
                                    page_indices)
