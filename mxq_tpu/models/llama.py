@@ -202,6 +202,10 @@ def quant_linear(x: jax.Array, w, cfg: LlamaConfig,
     if 2 <= cfg.w_bits < 32:
         fq = scheme.mxq_fake_quant_ste if train else scheme.mxq_fake_quant_qat
         w = fq(w.T, cfg.scheme).T
+    elif cfg.w_bits == 1:
+        # 1-bit sign path with plain STE (utils_quant.py:649-685,713)
+        wq = scheme.binary_fake_quant(w.T).T
+        w = jax.lax.stop_gradient(wq - w) + w if train else wq
     return x @ w
 
 

@@ -455,3 +455,33 @@ def mxq_fake_quant_ptq_ratio(w: jax.Array, ratio_2b_num: int,
                      cfg.ptq_eps).reshape(hi.shape)
 
     return jnp.concatenate([lo_dq, hi_dq], axis=-1).reshape(o, k)
+
+
+def binary_fake_quant(w: jax.Array, groupsize: int = 8,
+                      layerwise: bool = False) -> jax.Array:
+    """1-bit weight fake-quant (QuantizeLinear w_bits==1 path,
+    utils_quant.py:649-685): per-group (8 cols) mean-|w| scale times sign,
+    with the straight-through trick applied by the caller."""
+    if layerwise:
+        s = jnp.mean(jnp.abs(w))
+        return s * jnp.sign(w / s)
+    o, k = w.shape
+    g = w.reshape(o, k // groupsize, groupsize)
+    s = jnp.mean(jnp.abs(g), axis=-1, keepdims=True)
+    return (s * jnp.sign(g / s)).reshape(o, k)
+
+
+def sub2bit_fake_quant(w: jax.Array, w_bits: int,
+                       layerwise: bool = False) -> jax.Array:
+    """Sub-2-bit symmetric path (utils_quant.py:689-711): scale = 2*mean|w|
+    per row, levels = 2^(bits-1), half-step offset rounding with ±(1-1e-2)
+    clip."""
+    num_bits = 2 ** (w_bits - 1)
+    clip_val = 1 - 1e-2
+    if layerwise:
+        s = 2 * jnp.mean(jnp.abs(w))
+    else:
+        s = 2 * jnp.mean(jnp.abs(w), axis=1, keepdims=True)
+    q = (jnp.round(jnp.clip(w / s, -clip_val, clip_val) * num_bits - 0.5)
+         + 0.5) / num_bits
+    return s * q

@@ -161,3 +161,16 @@ class TestVariants:
         r68 = scheme.mxq_fake_quant_ptq_ratio(w, 6, 8, blocksize=16)
         np.testing.assert_allclose(np.asarray(r68), np.asarray(std),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_binary_weight_quant_matches_reference(self):
+        g = load("qat_w1")
+        out = scheme.binary_fake_quant(jnp.asarray(g["w"]), groupsize=8)
+        np.testing.assert_allclose(np.asarray(out), g["wq"], rtol=0, atol=1e-5)
+
+    def test_sub2bit_levels(self):
+        w = jax.random.normal(jax.random.PRNGKey(9), (8, 64))
+        # w_bits interpreted below 2: levels = 2^(bits-1)
+        out = scheme.sub2bit_fake_quant(w, w_bits=1)
+        s = 2 * jnp.mean(jnp.abs(w), axis=1, keepdims=True)
+        lv = np.unique(np.round(np.asarray(out / s) * 2) / 2)
+        assert set(np.abs(lv).round(4)).issubset({0.5})
