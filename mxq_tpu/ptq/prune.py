@@ -178,3 +178,36 @@ def prune_model(params: dict, cfg: llama.LlamaConfig, input_ids: jax.Array,
     out = dict(params)
     out["layers"] = {k_: jnp.stack(v) for k_, v in new_stacks.items()}
     return out
+
+
+def greedy_nearest_permutation(w_io: jax.Array, use_abs: bool = False
+                               ) -> jax.Array:
+    """Greedy nearest-neighbor column ordering
+    (weight_permutation.py:4-24): normalize columns, then repeatedly place
+    the most-correlated remaining column next. Host-side numpy (one-time,
+    data-layout decision, not a hot path)."""
+    import numpy as np
+    wt = np.asarray(w_io, np.float64).T.copy()        # columns as rows
+    wt /= np.linalg.norm(wt, axis=-1, keepdims=True) + 1e-12
+    dist = wt @ wt.T
+    if use_abs:
+        dist = np.abs(dist)
+    n = len(wt)
+    perm = np.arange(n)
+    for i in range(n - 2):
+        nearest = (i + 1) + int(np.argmax(dist[i, i + 1:]))
+        j = i + 1
+        dist[[j, nearest]] = dist[[nearest, j]]
+        dist[:, [j, nearest]] = dist[:, [nearest, j]]
+        perm[[j, nearest]] = perm[[nearest, j]]
+    return jnp.asarray(perm)
+
+
+def spearman_permutation(w_io: jax.Array, use_abs: bool = False) -> jax.Array:
+    """Spearman rank-correlation ordering (weight_permutation.py:36-39):
+    greedy-nearest over per-column rank vectors."""
+    import numpy as np
+    w = np.asarray(w_io.T)                            # [out, in] like reference
+    rank = np.argsort(np.argsort(w, axis=0), axis=0).astype(np.float64)
+    rank = rank - rank.mean(axis=0, keepdims=True)
+    return greedy_nearest_permutation(jnp.asarray(rank.T), use_abs)

@@ -64,3 +64,21 @@ def test_prune_model_wanda():
     pruned = prune.prune_model(params, CFG, ids, method="wanda", sparsity=0.5)
     s = prune.check_sparsity(pruned)
     assert abs(s - 0.5) < 0.05, s
+
+
+def test_permutations_are_valid_and_group_correlated():
+    import numpy as np
+    rng = np.random.RandomState(0)
+    base = rng.randn(16, 4)
+    # columns 2i and 2i+1 highly correlated
+    w = np.empty((16, 8))
+    w[:, 0::2] = base
+    w[:, 1::2] = base + 0.01 * rng.randn(16, 4)
+    perm = np.asarray(prune.greedy_nearest_permutation(jnp.asarray(w)))
+    assert sorted(perm.tolist()) == list(range(8))
+    # correlated pairs should end up adjacent for most positions
+    pairs = sum(1 for i in range(7) if abs(perm[i] - perm[i + 1]) == 1
+                and min(perm[i], perm[i + 1]) % 2 == 0)
+    assert pairs >= 3
+    sp = np.asarray(prune.spearman_permutation(jnp.asarray(w)))
+    assert sorted(sp.tolist()) == list(range(8))
