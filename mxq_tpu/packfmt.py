@@ -74,7 +74,10 @@ from mxq_tpu import scheme
 NB_TILE = 16          # blocks per k-tile  (= 1024 input columns)
 KT = NB_TILE * 64     # input columns per k-tile
 QQ_GROUPS = 3         # second-order chunk = the 3 groups of one block
-N_LANE = 256          # out-feature tile (lane) granularity
+N_LANE = 1024         # out-feature padding granularity: every padded N is a
+                      # multiple of the largest kernel lane tile (1024-wide
+                      # tiles measured ~20% faster than 256; ~2.3% extra
+                      # storage on 11008/22016/32000-wide layers)
 SCALE_CODE_BITS = 8   # first-order scale codes (reference used 4: mxqgpt.py:425)
 SCALE_CODE_MAX = 2**SCALE_CODE_BITS - 1
 

@@ -22,19 +22,20 @@ class TestPackUnpack:
     def test_roundtrip_shapes(self):
         w = rand_w(0, 256, 1024)
         p = packfmt.quantize_pack(w, CFG)
-        assert p.w2.shape == (1024 * 48 // 64 // 16, 256)
-        assert p.w4.shape == (1024 * 16 // 64 // 8, 256)
-        assert p.meta2.shape == (16, 256)
-        assert p.qscale.shape == (16, 256) and p.qmin.shape == (16, 256)
-        assert p.smeta4.shape == (8, 256)
+        n = packfmt.N_LANE  # O=256 pads to one lane tile
+        assert p.w2.shape == (1024 * 48 // 64 // 16, n)
+        assert p.w4.shape == (1024 * 16 // 64 // 8, n)
+        assert p.meta2.shape == (16, n)
+        assert p.qscale.shape == (16, n) and p.qmin.shape == (16, n)
+        assert p.smeta4.shape == (8, n)
         wdq = packfmt.unpack_dequant(p, CFG)
         assert wdq.shape == (1024, 256)
 
     def test_padding_roundtrip(self):
-        # K=2112 -> 33 blocks -> padded to 48; O=100 -> padded to 256.
+        # K=2112 -> 33 blocks -> padded to 48; O=100 -> padded to N_LANE.
         w = rand_w(1, 100, 2112)
         p = packfmt.quantize_pack(w, CFG)
-        assert p.nbp == 48 and p.n_padded == 256
+        assert p.nbp == 48 and p.n_padded == packfmt.N_LANE
         wdq = packfmt.unpack_dequant(p, CFG)
         assert wdq.shape == (2112, 100)
         err = np.abs(np.asarray(wdq.T) - np.asarray(w))

@@ -48,15 +48,22 @@ def main():
 
         wbf = jax.device_put(wdq_ref)
         pb = packed_bytes(p)
+
+        def back_to_x(y, k):
+            # Map [b, o] output back to an x-shaped carry, CONSUMING every
+            # output column — slicing alone lets XLA dead-code-eliminate the
+            # unused part of the baseline matmul (observed: "2 TB/s" bf16).
+            o_ = y.shape[1]
+            pad_to = -(-o_ // k) * k
+            folded = jnp.pad(y, ((0, 0), (0, pad_to - o_))).reshape(
+                y.shape[0], pad_to // k, k).sum(axis=1)
+            return (folded * 1e-6).astype(jnp.bfloat16)
+
         for b in [1, 8, 128, 512]:
             x0 = jnp.ones((b, k), jnp.bfloat16)
-            t_bf = time_op(lambda w, x: ((x @ w)[:, :k] * 1e-6
-                                         ).astype(jnp.bfloat16),
-                           x0, const=wbf)
-            t_q = time_op(lambda c, x: (mm.mxq_matmul(x, c, CFG,
-                                                      interpret=False)[:, :k]
-                                        * 1e-6).astype(jnp.bfloat16),
-                          x0, const=p)
+            t_bf = time_op(lambda w, x: back_to_x(x @ w, k), x0, const=wbf)
+            t_q = time_op(lambda c, x: back_to_x(
+                mm.mxq_matmul(x, c, CFG, interpret=False), k), x0, const=p)
             rl = Roofline("mxq_gemm", bytes_accessed=pb + 2 * b * (k + o),
                           flops=2 * b * o * k).report(t_q)
             print(f"  B={b:4d}: bf16 {t_bf*1e6:7.1f}us "
