@@ -19,9 +19,11 @@ def test_matches_reference_dequant(b, o, k):
     x = jax.random.normal(jax.random.PRNGKey(1), (b, k), jnp.float32)
     p = packfmt.quantize_pack(w, CFG)
     y = mm.mxq_matmul(x, p, CFG)
-    y_ref = x.astype(jnp.bfloat16) @ packfmt.unpack_dequant(p, CFG).astype(jnp.bfloat16)
+    # kernel computes with f32 dequantized weights and bf16-rounded x
+    y_ref = (x.astype(jnp.bfloat16).astype(jnp.float32)
+             @ packfmt.unpack_dequant(p, CFG))
     assert y.shape == (b, o)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref, dtype=np.float32),
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-2, atol=2e-1)
 
 

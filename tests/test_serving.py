@@ -70,3 +70,31 @@ class TestEngine:
             ref = greedy_reference(params, CFG,
                                    np.arange(3, dtype=np.int32) + i, 3)
             assert r.generated[:3] == ref
+
+
+class TestQuantCacheDecode:
+    def test_int8_stacked_cache_decode_close_to_dense(self):
+        """llama.forward with the stacked int8 cache (serving fast path)
+        tracks the dense-cache decode closely."""
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0,
+                                 CFG.vocab_size)
+        dense = llama.init_cache(CFG, 2, 16, dtype=jnp.float32)
+        quant = kvcache.init_quant_cache(
+            CFG.num_hidden_layers, 2, 16, CFG.num_key_value_heads,
+            CFG.head_dim)
+        ld = lq = None
+        for i in range(6):
+            ld, dense = llama.forward(params, ids[:, i:i+1], CFG,
+                                      caches=dense, cache_pos=i)
+            lq, quant = llama.forward(params, ids[:, i:i+1], CFG,
+                                      caches=quant, cache_pos=i)
+        a, b = np.asarray(ld), np.asarray(lq)
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.999, corr
+        # int8 cache halves+ the bytes
+        dense_bytes = sum(x.size * x.dtype.itemsize
+                          for x in jax.tree_util.tree_leaves(dense))
+        quant_bytes = sum(x.size * x.dtype.itemsize
+                          for x in jax.tree_util.tree_leaves(quant))
+        assert quant_bytes < dense_bytes / 3  # int8 vs f32 here
