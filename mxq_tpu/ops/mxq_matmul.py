@@ -75,13 +75,15 @@ def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
     neg_sz = s_eff * zc
 
     dn = (((0,), (0,)), ((), ()))
-    acc = acc_ref[:]
     w2 = w2_ref[:]                                     # [48, NL] int32
     for j in range(16):
         c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
         w_j = s_eff * c_j.astype(jnp.float32) - neg_sz  # [48, NL] f32
         xs = x2_ref[pl.ds(j * W2_ROWS, W2_ROWS), :]     # [48, B]
-        acc = acc + jax.lax.dot_general(
+        # accumulate through the ref: a value chain keeps every slab's
+        # [B, NL] f32 product live at once and blows scoped VMEM for
+        # prefill-sized B blocks
+        acc_ref[:] += jax.lax.dot_general(
             xs.astype(jnp.float32), w_j, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
 
@@ -92,11 +94,9 @@ def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
         c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
         w_j = s4 * c_j.astype(jnp.float32) - sz4       # [32, NL]
         xs = x4_ref[pl.ds(j * W4_ROWS, W4_ROWS), :]    # [32, B]
-        acc = acc + jax.lax.dot_general(
+        acc_ref[:] += jax.lax.dot_general(
             xs.astype(jnp.float32), w_j, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
-
-    acc_ref[:] = acc
 
     @pl.when(kt == pl.num_programs(2) - 1)
     def _():
@@ -178,7 +178,7 @@ def _auto_block_n(n: int) -> int:
 
 def mxq_matmul(x: jax.Array, p: PackedMXQLinear,
                cfg: MXQConfig = DEFAULT_SCHEME,
-               block_b: int = 256, block_n: int | None = None,
+               block_b: int = 128, block_n: int | None = None,
                interpret: bool | None = None) -> jax.Array:
     """y = x @ dequant(p): fused packed dequant-matmul.
 
@@ -291,7 +291,7 @@ def _stacked_kernel(idx_ref, x2_ref, x4_ref, w2_ref, w4_ref, meta_ref,
 
 def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
                        cfg: MXQConfig = DEFAULT_SCHEME,
-                       block_b: int = 256, block_n: int | None = None,
+                       block_b: int = 128, block_n: int | None = None,
                        interpret: bool | None = None) -> jax.Array:
     """y = x @ dequant(p[layer_idx]) where ``p`` holds stacked [L, ...]
     leaves. ``layer_idx`` may be a traced scalar (scan carry)."""
