@@ -193,11 +193,26 @@ def quant_linear(x: jax.Array, w, cfg: LlamaConfig,
             x = scheme.sym_fake_quant_ste(x, cfg.a_bits, groupsize=128)
         else:
             x = scheme.asym_fake_quant_ste(x, cfg.a_bits, groupsize=8)
-    if isinstance(w, StackedPackedRef):
+    if isinstance(w, (StackedPackedRef, PackedMXQLinear)):
         from mxq_tpu.ops import mxq_matmul as _mm
-        return _mm.mxq_matmul_stacked(x, w.packed, w.idx, cfg.scheme)
-    if isinstance(w, PackedMXQLinear):
-        from mxq_tpu.ops import mxq_matmul as _mm
+        from mxq_tpu import packfmt as _pf
+        import numpy as _np
+        tokens = int(_np.prod(x.shape[:-1]))
+        if tokens >= 512:
+            # prefill/training regime: the fused GEMV kernel is VPU/MXU-f32
+            # bound at large batch — dequantize once to bf16 and use the XLA
+            # matmul (measured 2.4x faster at T=2048)
+            if isinstance(w, StackedPackedRef):
+                p = jax.tree_util.tree_map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, w.idx, 0,
+                                                           keepdims=False),
+                    w.packed)
+            else:
+                p = w
+            wdq = _pf.unpack_dequant(p, cfg.scheme).astype(jnp.bfloat16)
+            return (x.astype(jnp.bfloat16) @ wdq).astype(x.dtype)
+        if isinstance(w, StackedPackedRef):
+            return _mm.mxq_matmul_stacked(x, w.packed, w.idx, cfg.scheme)
         return _mm.mxq_matmul(x, w, cfg.scheme)
     if 2 <= cfg.w_bits < 32:
         fq = scheme.mxq_fake_quant_ste if train else scheme.mxq_fake_quant_qat
