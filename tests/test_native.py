@@ -41,8 +41,9 @@ def test_pack_meta_matches_packer():
     w = jax.random.normal(jax.random.PRNGKey(0), (256, 1024), jnp.float32)
     p = packfmt.quantize_pack(w, CFG)
     # reconstruct the group-indexed zero/scale codes from meta2, then re-pack
-    zc = np.zeros((48, 256), np.int8)
-    sc = np.zeros((48, 256), np.int8)
+    n = p.n_padded
+    zc = np.zeros((48, n), np.int8)
+    sc = np.zeros((48, n), np.int8)
     meta = np.asarray(p.meta2)
     for r in range(16):
         for i in range(3):
