@@ -43,8 +43,14 @@ class MXQLM:
         self._score = jax.jit(self._score_impl, static_argnames=())
 
     def _score_impl(self, ids, cont_mask):
-        """ids [B, T]; cont_mask [B, T] marks continuation positions.
-        Returns (sum logp over continuation, all-argmax-correct flag)."""
+        """ids [B, T] RIGHT-padded; cont_mask [B, T] marks continuation
+        positions. Returns (sum logp over continuation, exact-match flag).
+
+        Right padding (sequence at the start, zeros after) matches the
+        reference's vendored lm-eval v0.3.0 protocol (base.py:270-281): under
+        the causal mask no real token can attend a pad (pads only come
+        later), and RoPE positions start at 0 — so pads never influence
+        scores and no attention mask is needed."""
         logits, _ = llama.forward(self.params, ids, self.cfg)
         logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
         tgt = ids[:, 1:]
@@ -72,9 +78,9 @@ class MXQLM:
             mask = np.zeros((bs, t_pad), np.int32)
             for j, (ctx, cont) in enumerate(chunk):
                 seq = np.concatenate([ctx, cont])[-t_pad:]
-                off = t_pad - len(seq)
-                ids[j, off:] = seq
-                mask[j, t_pad - min(len(cont), len(seq)):] = 1
+                n_cont = min(len(cont), len(seq))
+                ids[j, : len(seq)] = seq
+                mask[j, len(seq) - n_cont: len(seq)] = 1
             s, exact = self._score(jnp.asarray(ids), jnp.asarray(mask))
             for j in range(len(chunk)):
                 out.append((float(s[j]), bool(exact[j])))

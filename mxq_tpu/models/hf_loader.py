@@ -67,9 +67,9 @@ def load_params(path: str, cfg: llama.LlamaConfig | None = None,
     params: dict = {"layers": layer_stacks}
 
     def to_jnp(a, transpose=False):
+        # safetensors framework="np" yields ml_dtypes bf16 arrays for bf16
+        # shards; jnp.asarray handles those directly.
         a = np.ascontiguousarray(a.T if transpose else a)
-        if a.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
-            return jnp.asarray(a, dtype=dtype)
         return jnp.asarray(a).astype(dtype)
 
     for name, arr in _open_shards(path):

@@ -46,6 +46,8 @@ def save_checkpoint(mgr, step: int, params, opt_state) -> None:
 
 
 def restore_checkpoint(mgr, params_like, opt_state_like):
+    """Returns (params, opt_state, steps_completed). Checkpoint labels ARE
+    the number of completed steps, so the label is the resume point."""
     import orbax.checkpoint as ocp
     step = mgr.latest_step()
     if step is None:
@@ -53,7 +55,7 @@ def restore_checkpoint(mgr, params_like, opt_state_like):
     restored = mgr.restore(step, args=ocp.args.Composite(
         params=ocp.args.StandardRestore(params_like),
         opt_state=ocp.args.StandardRestore(opt_state_like)))
-    return restored["params"], restored["opt_state"], step + 1
+    return restored["params"], restored["opt_state"], step
 
 
 def run_training(params, teacher_params, cfg: llama.LlamaConfig,
@@ -79,6 +81,12 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
         p, o, start_step = restore_checkpoint(mgr, params, opt_state)
         if p is not None:
             params, opt_state = p, o
+            # Fast-forward the data stream so a resumed run continues the
+            # token mix instead of retraining on the first start_step batches
+            # (same shuffle seed on restart).
+            for _ in range(start_step):
+                if next(data_iter, None) is None:
+                    break
             log(f"resumed from step {start_step}")
 
     step_fn = jax.jit(train_mod.make_train_step(cfg, tc, opt),
@@ -86,24 +94,26 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
 
     losses = []
     t0 = time.time()
-    step = start_step
-    for step, batch in enumerate(data_iter, start=start_step):
+    step = start_step                 # = steps COMPLETED so far
+    for batch in data_iter:
         if lc.max_steps is not None and step >= lc.max_steps:
             break
         if mesh is not None:
             batch = sharding.shard_batch(batch, mesh)
         params, opt_state, metrics = step_fn(params, teacher_params,
                                              opt_state, batch)
-        if (step + 1) % lc.log_steps == 0:
+        step += 1
+        if step % lc.log_steps == 0:
             loss = float(metrics["loss"])
             losses.append(loss)
-            log(f"step {step + 1}: loss={loss:.4f} "
+            log(f"step {step}: loss={loss:.4f} "
                 f"gnorm={float(metrics['grad_norm']):.3f} "
                 f"({(time.time() - t0) / lc.log_steps:.2f}s/step)")
             t0 = time.time()
-        if (step + 1) % lc.save_steps == 0:
-            save_checkpoint(mgr, step + 1, params, opt_state)
+        if step % lc.save_steps == 0:
+            save_checkpoint(mgr, step, params, opt_state)
 
-    save_checkpoint(mgr, step + 1, params, opt_state)
-    return {"params": params, "opt_state": opt_state, "last_step": step + 1,
+    if step == 0 or step % lc.save_steps != 0:
+        save_checkpoint(mgr, step, params, opt_state)
+    return {"params": params, "opt_state": opt_state, "last_step": step,
             "losses": losses}

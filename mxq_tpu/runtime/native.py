@@ -114,17 +114,14 @@ def pack_meta(zeros: np.ndarray, scales: np.ndarray) -> np.ndarray:
     nbp = g2 // 3
     lib = get_lib()
     if lib is None:
-        zv = zeros.reshape(nbp // 16, 16, 3, n)  # wrong axis order; do manual
-        out = np.zeros((nbp, n), np.int64)
-        for t in range(nbp // 16):
-            for r in range(16):
-                w = np.zeros(n, np.int64)
-                for i in range(3):
-                    g = t * 48 + 16 * i + r
-                    w |= (zeros[g].astype(np.int64) & 3) << (2 * i)
-                    w |= (scales[g].astype(np.int64) & 255) << (6 + 8 * i)
-                out[t * 16 + r] = w
-        return out.astype(np.uint32).view(np.int32) if False else out.astype(np.int32)
+        # group g = t*48 + 16*i + r  ->  axes [t, i, r]
+        n_kt = nbp // 16
+        zv = zeros.reshape(n_kt, 3, 16, n).astype(np.int64) & 3
+        sv = scales.reshape(n_kt, 3, 16, n).astype(np.int64) & 255
+        out = np.zeros((n_kt, 16, n), np.int64)
+        for i in range(3):
+            out |= (zv[:, i] << (2 * i)) | (sv[:, i] << (6 + 8 * i))
+        return out.reshape(nbp, n).astype(np.int32)
     out = np.empty((nbp, n), np.int32)
     lib.mxq_pack_meta(zeros.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                       scales.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),

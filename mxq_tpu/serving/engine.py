@@ -138,8 +138,12 @@ class Engine:
             t = len(req.prompt)
             bucket = next((bkt for bkt in self.ecfg.prefill_buckets
                            if bkt >= t), self.ecfg.prefill_buckets[-1])
+            # Prompts longer than the largest bucket keep the LAST tokens
+            # (the recent tail that conditions generation), never the head.
+            tail = req.prompt[-bucket:]
+            t = len(tail)
             ids = np.zeros((1, bucket), np.int32)
-            ids[0, :t] = req.prompt[:bucket]
+            ids[0, :t] = tail
             prefill = self._get_prefill(bucket)
             self.caches, first = prefill(self.params, self.caches,
                                          jnp.asarray(ids), t, slot)

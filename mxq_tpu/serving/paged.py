@@ -265,14 +265,18 @@ class PagedEngine:
             if self.slot_req[slot] is not None or not self.queue:
                 continue
             req = self.queue.pop(0)
-            t = len(req.prompt)
-            bucket = max(self.prefill_bucket,
-                         -(-t // ps) * ps)
+            # Clamp to pool capacity keeping the LAST tokens (the recent
+            # tail that conditions generation), never the head. Keep one
+            # position of headroom so the first decode write fits.
+            cap = self.pool.page_tables.shape[1] * ps
+            tail = req.prompt[-(cap - 1):]
+            t = len(tail)
+            bucket = min(max(self.prefill_bucket, -(-t // ps) * ps), cap)
             self.pool.ensure_capacity(slot, bucket)
             npages = bucket // ps
             slot_pages = jnp.asarray(self.pool.page_tables[slot][:npages])
             ids = np.zeros((1, bucket), np.int32)
-            ids[0, :t] = req.prompt
+            ids[0, :t] = tail
             first, self.pool.k_pages, self.pool.v_pages = paged_prefill(
                 self.params, self.pool.k_pages, self.pool.v_pages,
                 jnp.asarray(ids), t, slot_pages, self.cfg)
@@ -311,7 +315,9 @@ class PagedEngine:
             self.pool.lengths[s] += 1
             hit_eos = (r.eos_token_id is not None
                        and r.generated[-1] == r.eos_token_id)
-            if len(r.generated) > r.max_new_tokens or hit_eos:
+            at_cap = (self.pool.lengths[s]
+                      >= self.pool.page_tables.shape[1] * ps)
+            if len(r.generated) > r.max_new_tokens or hit_eos or at_cap:
                 r.done = True
                 finished.append(r)
                 self.pool.release(s)

@@ -60,3 +60,18 @@ def test_deterministic_golden():
 def test_registered_tasks_exist():
     assert set(harness.TASKS) == {"piqa", "winogrande", "hellaswag",
                                   "arc_easy"}
+
+
+def test_right_padding_invariance():
+    """Scores must not depend on how much padding a batch carries: with
+    right-padding + causal masking (the lm-eval v0.3.0 protocol), batching a
+    short request next to a long one leaves its score unchanged (ADVICE r1:
+    the old left-pad scheme shifted RoPE positions and attended pads)."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    lm = harness.MXQLM(params, CFG, batch_size=4)
+    ctx = toy_tokenize("hello world")
+    cont = toy_tokenize(" xy")
+    long_ctx = toy_tokenize("a much longer context string here padding out")
+    (alone, _), = lm.loglikelihood([(ctx, cont)])
+    (batched, _), _ = lm.loglikelihood([(ctx, cont), (long_ctx, cont)])
+    np.testing.assert_allclose(alone, batched, rtol=1e-4)

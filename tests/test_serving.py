@@ -98,3 +98,19 @@ class TestQuantCacheDecode:
         quant_bytes = sum(x.size * x.dtype.itemsize
                           for x in jax.tree_util.tree_leaves(quant))
         assert quant_bytes < dense_bytes / 3  # int8 vs f32 here
+
+
+class TestLongPrompt:
+    def test_overlong_prompt_keeps_tail(self):
+        """Prompts longer than the largest prefill bucket must keep the LAST
+        bucket tokens (ADVICE r1: head-truncation attended uninit KV rows)."""
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(3)
+        prompt = rng.randint(1, CFG.vocab_size, size=40).astype(np.int32)
+        n_new = 4
+        ref = greedy_reference(params, CFG, prompt[-16:], n_new)
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
+        req = e.submit(prompt, max_new_tokens=n_new)
+        e.run()
+        assert req.generated[:n_new] == ref
