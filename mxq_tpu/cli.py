@@ -56,17 +56,20 @@ def cmd_ptq(args):
     tok = _tokenizer(args)
     ids = jnp.asarray(ptq_data.get_calibration_batch(
         args.nsamples, args.seqlen, tokenizer=tok,
-        vocab_size=cfg.vocab_size, seed=args.seed))
+        vocab_size=cfg.vocab_size, seed=args.seed, dataset=args.dataset))
     print(f"calibrating {cfg.num_hidden_layers} layers on "
-          f"{args.nsamples}x{args.seqlen} tokens (mode={args.mode})")
+          f"{args.nsamples}x{args.seqlen} {args.dataset} tokens "
+          f"(mode={args.mode})")
     qparams, packed = calibrate.ptq_quantize(
         params, cfg, ids, calibrate.PTQConfig(mode=args.mode),
         progress=lambda i: print(f"  layer {i} done"))
     tokens = ptq_data.get_eval_tokens(tokenizer=tok,
-                                      vocab_size=cfg.vocab_size)
+                                      vocab_size=cfg.vocab_size,
+                                      dataset=args.dataset,
+                                      seqlen=args.seqlen)
     p = ppl_eval.eval_ppl(qparams, cfg, tokens, seqlen=args.seqlen,
                           max_windows=args.max_eval_windows)
-    print(f"wikitext-style ppl (quantized): {p:.4f}")
+    print(f"{args.dataset} ppl (quantized): {p:.4f}")
     if args.save_model:
         from mxq_tpu.utils import checkpoint as ckpt
         ckpt.save_params(args.save_model, qparams if packed is None
@@ -82,10 +85,12 @@ def cmd_eval_ppl(args):
                               kv_bits=args.kv_bits)
     tok = _tokenizer(args)
     tokens = ptq_data.get_eval_tokens(tokenizer=tok,
-                                      vocab_size=cfg.vocab_size)
+                                      vocab_size=cfg.vocab_size,
+                                      dataset=args.dataset,
+                                      seqlen=args.seqlen)
     p = ppl_eval.eval_ppl(params, cfg, tokens, seqlen=args.seqlen,
                           max_windows=args.max_eval_windows)
-    print(json.dumps({"ppl": p}))
+    print(json.dumps({"dataset": args.dataset, "ppl": p}))
 
 
 def cmd_eval_tasks(args):
@@ -204,6 +209,8 @@ def main(argv=None):
 
     p = sub.add_parser("ptq")
     _add_model_args(p)
+    p.add_argument("--dataset", default="wikitext2",
+                   choices=["wikitext2", "c4", "ptb"])
     p.add_argument("--nsamples", type=int, default=128)
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--mode", default="reference",
@@ -214,6 +221,8 @@ def main(argv=None):
 
     p = sub.add_parser("eval-ppl")
     _add_model_args(p)
+    p.add_argument("--dataset", default="wikitext2",
+                   choices=["wikitext2", "c4", "ptb"])
     p.add_argument("--w_bits", type=int, default=32)
     p.add_argument("--a_bits", type=int, default=32)
     p.add_argument("--kv_bits", type=int, default=32)

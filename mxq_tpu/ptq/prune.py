@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mxq_tpu.models import llama
 from mxq_tpu.ptq import calibrate
@@ -36,6 +37,47 @@ def wanda_mask(w_io: jax.Array, col_sq: jax.Array, sparsity: float = 0.5,
     per-column norm is layerwrapper.py:5-35's scaler_row)."""
     metric = jnp.abs(w_io) * jnp.sqrt(col_sq)[:, None]
     return _mask_from_metric(metric, sparsity, n, m)
+
+
+def wanda_mask_alpha(w_io: jax.Array, col_sq: jax.Array,
+                     sparsity: float = 0.5, tol: float = 1e-3
+                     ) -> jax.Array:
+    """Wanda "variant" (alpha-search) keep-mask (prune.py:103-110,194-215).
+
+    Instead of a fixed per-row count, prune the smallest-metric entries of
+    each row until the pruned mass reaches ``alpha`` of the row's total
+    metric, binary-searching alpha in [0, 0.8] until the global sparsity is
+    within ``tol`` of the target. Per-row sparsity then adapts to the metric
+    distribution. Returns keep-mask [in, out]."""
+    metric = jnp.abs(w_io) * jnp.sqrt(col_sq)[:, None]
+    mt = metric.T                                     # [out, in] like reference
+    sort_res = jnp.sort(mt, axis=1)                   # ascending, per row
+    tmp_metric = jnp.cumsum(sort_res, axis=1)
+    sum_before = mt.sum(axis=1)
+
+    def given_alpha(alpha):
+        # prune everything below the per-row value whose prefix mass is
+        # alpha * row_sum (return_given_alpha, prune.py:103-110)
+        thres_cumsum = sum_before * alpha
+        cnt = jnp.sum(tmp_metric <= thres_cumsum[:, None], axis=1)
+        idx = jnp.clip(cnt - 1, 0, mt.shape[1] - 1)
+        thres = jnp.take_along_axis(sort_res, idx[:, None], axis=1)
+        thres = jnp.where((cnt == 0)[:, None], -jnp.inf, thres)
+        prune = mt <= thres
+        return prune, float(prune.mean())
+
+    alpha, hist = 0.4, [0.0, 0.8]
+    prune, cur = given_alpha(alpha)
+    while abs(cur - sparsity) > tol and hist[1] - hist[0] >= tol:
+        if cur > sparsity:
+            alpha_new = (alpha + hist[0]) / 2.0
+            hist[1] = alpha
+        else:
+            alpha_new = (alpha + hist[1]) / 2.0
+            hist[0] = alpha
+        alpha = alpha_new
+        prune, cur = given_alpha(alpha)
+    return ~prune.T
 
 
 def _mask_from_metric(metric: jax.Array, sparsity: float, n: int,
@@ -69,6 +111,36 @@ def check_sparsity(params: dict) -> float:
 def act_order_permutation(diag_h: jax.Array) -> jax.Array:
     """Descending diag(H) column order (weight_permutation.py:41)."""
     return jnp.argsort(-diag_h)
+
+
+def sparse_act_order_permutation(w_io: jax.Array, h: jax.Array,
+                                 percdamp: float = 1.0) -> jax.Array:
+    """2:4-aware activation ordering (weight_permutation.py:42-71).
+
+    Saliency per column = sum_rows W^2 / diag(cholesky(inv(H_damped)))^2,
+    sorted descending, then positions i in the first half with i%4 in {2,3}
+    are swapped with position i + n/2 - 2 — interleaving strong and weak
+    columns so every 4-wide group keeps 2 strong candidates under 2:4
+    structured pruning."""
+    k = w_io.shape[0]
+    w = w_io.T.astype(jnp.float32)                    # [out, in]
+    dead = jnp.diag(h) == 0
+    h = h + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    w = jnp.where(dead[None, :], 0.0, w)
+    damp = percdamp * jnp.mean(jnp.diag(h))
+    h = h + damp * jnp.eye(k, dtype=h.dtype)
+    hinv_chol = jnp.linalg.cholesky(jnp.linalg.inv(h), upper=True)
+    diag = jnp.diag(hinv_chol)
+    tmp = ((w ** 2) / (diag[None, :] ** 2)).sum(axis=0)
+    perm = np.asarray(jnp.argsort(-tmp))
+
+    out = perm.copy()
+    half = k // 2
+    for i in range(half):
+        if i % 4 in (2, 3):
+            out[i] = perm[i + half - 2]
+            out[i + half - 2] = perm[i]
+    return jnp.asarray(out)
 
 
 # ---------------------------------------------------------------------------

@@ -457,6 +457,114 @@ def mxq_fake_quant_ptq_ratio(w: jax.Array, ratio_2b_num: int,
     return jnp.concatenate([lo_dq, hi_dq], axis=-1).reshape(o, k)
 
 
+def _rowmean_sign_qdq(x: jax.Array) -> jax.Array:
+    """The PTQ Quantizer's 1-bit path (quantizer.py:102-105,157-163):
+    scale = mean|x| over the last axis, qdq = +scale where x >= 0 else
+    -scale."""
+    s = jnp.mean(jnp.abs(x), axis=-1, keepdims=True)
+    return jnp.where(x >= 0, s, -s)
+
+
+def leave_one_out_error(wb: jax.Array, hdiag: jax.Array,
+                        bits: int) -> jax.Array:
+    """SpQR-style leave-one-out error reduction
+    (mxqgpt.py get_leave_one_out_error :454-491).
+
+    ``wb``: [..., bs] groups; ``hdiag``: [..., bs] matching diag of the
+    upper Cholesky of H^-1. For each element, requantize its group WITHOUT
+    it and measure how much the Hessian-weighted squared error of the rest
+    drops vs quantizing the full group — the element's "usefulness as an
+    outlier". Returns [..., bs].
+    """
+    bs = wb.shape[-1]
+    maxq = 2 ** bits - 1
+    idx = jnp.arange(bs)
+    # loo_indices[j] = all indices except j, in order (:459-461)
+    loo = idx[None, 1:] - (idx[:, None] >= idx[None, 1:]).astype(idx.dtype)
+    gw = wb[..., loo]                                   # [..., bs, bs-1]
+    s, z = asym_find_params(gw, maxq)
+    rec = asym_qdq(gw, s[..., None], z[..., None], maxq)
+    hd_loo = hdiag[..., loo]
+    loo_err = (((rec - gw) / hd_loo) ** 2).sum(-1)      # [..., bs]
+
+    s0, z0 = asym_find_params(wb, maxq)
+    rec0 = asym_qdq(wb, s0[..., None], z0[..., None], maxq)
+    base_err = (((rec0 - wb) / hdiag) ** 2).sum(-1, keepdims=True)
+    return base_err - loo_err
+
+
+def mxq_outlier_quantize(w: jax.Array, h: jax.Array | None = None,
+                         bits: int = 1, blocksize: int = 16,
+                         percdamp: float = 0.01,
+                         ol_threshold: float = 1.1,
+                         count_threshold: int = 4,
+                         outlier_rel_threshold: float = 0.6):
+    """Outlier-aware quantization — the reference's ``MXQGPT1.fasterquant``
+    (mxqgpt.py:155-254): quantize at ``bits`` but keep an unstructured
+    outlier mask in full precision.
+
+    ``bits == 1`` (the reference's active branch, mxqgpt.py:170-197):
+    per ``blocksize``-column block, elements beyond ``ol_threshold`` times
+    the row's mean |w| are likely outliers; rows with more than
+    ``count_threshold`` of them keep the WHOLE row-block in fp; the rest is
+    1-bit mean-scale sign-quantized.
+
+    ``bits >= 2`` (mxqgpt.py:198-232): leave-one-out error reduction vs
+    ``outlier_rel_threshold * mean(var(W,axis=0)/diag(Hinv_chol)^2)``
+    (:155-157) picks likely outliers; quantizer params are fit on the block
+    with outliers replaced by the non-outlier mean; the final mask re-checks
+    the Hessian-weighted residual against the same threshold. Requires ``h``.
+
+    Returns ``(w_qdq [O, K], outlier_mask [O, K] bool)``.
+    """
+    o, k = w.shape
+    w = w.astype(jnp.float32)
+    hdiag = None
+    if h is not None:
+        dead = jnp.diag(h) == 0
+        h = h + jnp.diag(jnp.where(dead, 1.0, 0.0))
+        w = jnp.where(dead[None, :], 0.0, w)
+        damp = percdamp * jnp.mean(jnp.diag(h))
+        h = h + damp * jnp.eye(k, dtype=h.dtype)
+        hinv_chol = jnp.linalg.cholesky(jnp.linalg.inv(h), upper=True)
+        hdiag = jnp.diag(hinv_chol)
+
+    nb = k // blocksize
+    wb = w.reshape(o, nb, blocksize)
+
+    if bits == 1:
+        wmean = jnp.sum(jnp.abs(wb), axis=-1, keepdims=True) / blocksize
+        likely = ((wb > ol_threshold * wmean)
+                  | (wb < -ol_threshold * wmean))
+        block_rows = jnp.sum(likely, axis=-1, keepdims=True) > count_threshold
+        mask = jnp.broadcast_to(block_rows, wb.shape)
+        qdq = _rowmean_sign_qdq(wb)
+        out = jnp.where(mask, wb, qdq)
+        return out.reshape(o, k), mask.reshape(o, k)
+
+    if hdiag is None:
+        raise ValueError("bits >= 2 outlier quantization needs the Hessian")
+    # threshold from the FULL weight (mxqgpt.py:155-157); torch.var is
+    # unbiased (ddof=1)
+    scale_stat = jnp.mean(jnp.var(w, axis=0, ddof=1) / hdiag ** 2)
+    threshold = outlier_rel_threshold * scale_stat
+
+    hd_b = hdiag.reshape(1, nb, blocksize)
+    reduction = leave_one_out_error(wb, hd_b, bits)
+    likely = reduction > threshold
+    non = ~likely
+    mean_non = (jnp.sum(wb * non, axis=-1, keepdims=True)
+                / jnp.maximum(jnp.sum(non, axis=-1, keepdims=True), 1))
+    wb_wo = jnp.where(likely, mean_non, wb)
+    maxq = 2 ** bits - 1
+    s, z = asym_find_params(wb_wo, maxq)
+    wq = asym_qdq(wb, s[..., None], z[..., None], maxq)
+    err = (wb - wq) / hd_b
+    mask = err ** 2 > threshold
+    out = jnp.where(mask, wb, wq)
+    return out.reshape(o, k), mask.reshape(o, k)
+
+
 def binary_fake_quant(w: jax.Array, groupsize: int = 8,
                       layerwise: bool = False) -> jax.Array:
     """1-bit weight fake-quant (QuantizeLinear w_bits==1 path,

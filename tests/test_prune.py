@@ -82,3 +82,82 @@ def test_permutations_are_valid_and_group_correlated():
     assert pairs >= 3
     sp = np.asarray(prune.spearman_permutation(jnp.asarray(w)))
     assert sorted(sp.tolist()) == list(range(8))
+
+
+def test_wanda_alpha_search_hits_target_sparsity():
+    w = jax.random.normal(jax.random.PRNGKey(5), (128, 64))
+    col_sq = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (128,))) + 0.1
+    keep = prune.wanda_mask_alpha(w, col_sq, sparsity=0.5)
+    frac = float(jnp.mean(~keep))
+    assert abs(frac - 0.5) < 0.01
+    # per-row sparsity ADAPTS (unlike the fixed-count variant)
+    row_frac = np.asarray((~keep).mean(axis=0))
+    assert row_frac.std() > 0.0
+
+
+def test_wanda_alpha_search_matches_reference_protocol():
+    """Cross-check the alpha-search mask against the reference's
+    return_given_alpha bisection (prune.py:103-110,194-215) run in torch."""
+    import torch
+
+    rng = np.random.RandomState(11)
+    w = rng.randn(96, 48).astype(np.float32)
+    col_sq = (np.abs(rng.randn(96)) + 0.1).astype(np.float32)
+    target = 0.5
+
+    wm = torch.abs(torch.from_numpy(w.T)) * torch.sqrt(
+        torch.from_numpy(col_sq).reshape(1, -1))
+    sort_res = torch.sort(wm, dim=-1, stable=True)
+    tmp_metric = torch.cumsum(sort_res[0], dim=1)
+    sum_before = wm.sum(dim=1)
+
+    def given_alpha(alpha):
+        thres_cumsum = sum_before * alpha
+        sort_mask = tmp_metric <= thres_cumsum.reshape((-1, 1))
+        thres = torch.gather(sort_res[0], dim=1,
+                             index=sort_mask.sum(dim=1, keepdims=True) - 1)
+        mask = (wm <= thres)
+        return mask, float(mask.sum()) / mask.numel()
+
+    alpha, hist = 0.4, [0.0, 0.8]
+    mask, cur = given_alpha(alpha)
+    while abs(cur - target) > 1e-3 and hist[1] - hist[0] >= 1e-3:
+        if cur > target:
+            alpha_new = (alpha + hist[0]) / 2.0
+            hist[1] = alpha
+        else:
+            alpha_new = (alpha + hist[1]) / 2.0
+            hist[0] = alpha
+        alpha = alpha_new
+        mask, cur = given_alpha(alpha)
+
+    keep = prune.wanda_mask_alpha(jnp.asarray(w), jnp.asarray(col_sq),
+                                  sparsity=target)
+    ours = ~np.asarray(keep).T
+    ref = mask.numpy()
+    agreement = (ours == ref).mean()
+    assert agreement > 0.995, agreement
+
+
+def test_sparse_act_order_is_24_aware_permutation():
+    rng = jax.random.PRNGKey(8)
+    w = jax.random.normal(rng, (32, 64))
+    x = jax.random.normal(jax.random.PRNGKey(9), (128, 32))
+    h = (2.0 / 128) * (x.T @ x)
+    perm = prune.sparse_act_order_permutation(w, h)
+    pv = np.asarray(perm)
+    k = 32
+    assert sorted(pv.tolist()) == list(range(k))
+    # undo the 2:4-aware swap (weight_permutation.py:60-68); the result must
+    # be the plain saliency-descending order, i.e. monotone in saliency
+    half = k // 2
+    undone = pv.copy()
+    for i in range(half):
+        if i % 4 in (2, 3):
+            undone[i], undone[i + half - 2] = pv[i + half - 2], pv[i]
+    damp = 1.0 * float(jnp.mean(jnp.diag(h)))
+    hd = np.asarray(h) + damp * np.eye(k)
+    hinv_chol = np.linalg.cholesky(np.linalg.inv(hd)).T
+    sal = (np.asarray(w).T.astype(np.float64) ** 2
+           / np.diag(hinv_chol)[None, :] ** 2).sum(axis=0)
+    assert (np.diff(sal[undone]) <= 1e-6).all()

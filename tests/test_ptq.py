@@ -58,3 +58,31 @@ def test_ppl_quantized_close_to_fp():
     assert np.isfinite(p_q) and np.isfinite(p_fp)
     # random init: ppl ~ vocab; quantization shouldn't blow it up
     assert p_q < p_fp * 3
+
+
+def test_dataset_loaders_select_and_salt():
+    """wikitext2/c4/ptb are selectable (lib/data.py:86-92); offline fallbacks
+    are deterministic and differ per dataset; strict mode raises."""
+    import pytest
+    from mxq_tpu.ptq import data as ptq_data
+
+    outs = {}
+    for ds in ptq_data.DATASETS:
+        b = ptq_data.get_calibration_batch(4, 64, vocab_size=512, seed=0,
+                                           dataset=ds)
+        assert b.shape == (4, 64) and b.dtype == np.int32
+        outs[ds] = b
+        t = ptq_data.get_eval_tokens(vocab_size=512, n_tokens=256, dataset=ds)
+        assert t.ndim == 1
+    assert not np.array_equal(outs["wikitext2"], outs["c4"])
+    assert not np.array_equal(outs["c4"], outs["ptb"])
+    # determinism
+    again = ptq_data.get_calibration_batch(4, 64, vocab_size=512, seed=0,
+                                           dataset="c4")
+    np.testing.assert_array_equal(outs["c4"], again)
+    with pytest.raises(ValueError):
+        ptq_data.get_calibration_batch(1, 8, dataset="owt")
+    with pytest.raises(RuntimeError):
+        ptq_data.get_calibration_batch(1, 8, dataset="ptb", strict=True)
+    with pytest.raises(RuntimeError):
+        ptq_data.get_eval_tokens(dataset="c4", strict=True)

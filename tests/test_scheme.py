@@ -174,3 +174,37 @@ class TestVariants:
         s = 2 * jnp.mean(jnp.abs(w), axis=1, keepdims=True)
         lv = np.unique(np.round(np.asarray(out / s) * 2) / 2)
         assert set(np.abs(lv).round(4)).issubset({0.5})
+
+
+class TestOutlierQuant:
+    """MXQGPT1 outlier-aware quantization vs reference goldens
+    (mxqgpt.py:95-254, get_leave_one_out_error :454-491)."""
+
+    def test_1bit_outlier_matches_reference(self):
+        g = load("ptq_outlier_1b")
+        out, mask = scheme.mxq_outlier_quantize(jnp.asarray(g["w"]), bits=1,
+                                                blocksize=16)
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=0,
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(mask), g["mask"] != 0)
+
+    def test_leave_one_out_error_matches_reference(self):
+        g = load("ptq_loo_2b")
+        red = scheme.leave_one_out_error(jnp.asarray(g["w"]),
+                                         jnp.asarray(g["hdiag"])[None, :],
+                                         bits=2)
+        np.testing.assert_allclose(np.asarray(red), g["red"], rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_2bit_outlier_path_runs(self):
+        key = jax.random.PRNGKey(3)
+        w = jax.random.normal(key, (16, 64))
+        w = w.at[3, 17].set(8.0)  # a clear outlier
+        x = jax.random.normal(jax.random.PRNGKey(4), (32, 64))
+        h = (2.0 / 32) * (x.T @ x)
+        out, mask = scheme.mxq_outlier_quantize(w, h, bits=2, blocksize=16)
+        assert bool(mask[3, 17])
+        # outliers kept exactly; non-outliers quantized
+        np.testing.assert_allclose(float(out[3, 17]), 8.0, rtol=1e-6)
+        frac = float(jnp.mean(mask))
+        assert frac < 0.5

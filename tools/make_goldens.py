@@ -105,6 +105,34 @@ def ptq_goldens():
 
 
 
+def outlier_goldens():
+    """MXQGPT1 (outlier-aware, mxqgpt.py:95-254) — the active bit==1 branch via
+    the class, and get_leave_one_out_error directly for the bits>=2 path."""
+    import torch.nn as nn
+    from lib.mxqgpt import MXQGPT1, get_leave_one_out_error
+
+    torch.cuda.synchronize = lambda *a, **k: None
+    g = torch.Generator().manual_seed(13)
+    layer = nn.Linear(64, 16, bias=False)
+    with torch.no_grad():
+        w = torch.randn(16, 64, generator=g)
+        w[2, 5] = 6.0   # force some clear outliers
+        w[7, 33] = -5.0
+        layer.weight.copy_(w)
+    eng = MXQGPT1(layer)
+    inp = torch.randn(4, 64, generator=g)
+    eng.add_batch(inp, None)
+    eng.fasterquant(blocksize=16, percdamp=0.01)
+    save("ptq_outlier_1b", w=w.numpy(), inp=inp.numpy(),
+         out=layer.weight.data.numpy(),
+         mask=eng.unstructured_outlier_mask.numpy())
+
+    gw = torch.randn(8, 16, generator=g)
+    hd = torch.rand(16, generator=g) + 0.5
+    red = get_leave_one_out_error(gw, hd, bits=2, sym=False)
+    save("ptq_loo_2b", w=gw.numpy(), hdiag=hd.numpy(), red=red.numpy())
+
+
 def variant_goldens():
     import torch
     from models.utils_quant import MX1AsymQuantizer
@@ -118,5 +146,6 @@ def variant_goldens():
 if __name__ == "__main__":
     qat_goldens()
     ptq_goldens()
+    outlier_goldens()
     variant_goldens()
     print("done")
