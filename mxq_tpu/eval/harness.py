@@ -87,6 +87,82 @@ class MXQLM:
         return out
 
 
+    def loglikelihood_rolling(self, streams: Sequence[np.ndarray],
+                              prefix_token: int = 2) -> list[float]:
+        """Full log-likelihood of each token stream, windowed to max_len
+        with each token predicted exactly once — the vendored lm-eval
+        v0.3.0 protocol (base.py:187-216, utils.get_rolling_token_windows
+        with context_len=1 + make_disjoint_window). ``prefix_token`` plays
+        the eot/bos role so the first token has context (Llama eos=2)."""
+        out = []
+        for toks in streams:
+            windows = [
+                make_disjoint_window(w)
+                # max_len - 1 so ctx+cont (incl. the 1-token context) fits
+                # the scorer's window without dropping the context token
+                for w in get_rolling_token_windows(
+                    list(np.asarray(toks).tolist()), prefix_token,
+                    self.max_len - 1, 1)
+            ]
+            reqs = [(np.asarray(c, np.int32), np.asarray(p, np.int32))
+                    for c, p in windows]
+            scores = self.loglikelihood(reqs)
+            out.append(float(sum(s for s, _ in scores)))
+        return out
+
+    def greedy_generate(self, ctx: np.ndarray, max_new_tokens: int = 64,
+                        stop_sequences: Sequence[Sequence[int]] = (),
+                        eos_id: Optional[int] = None) -> np.ndarray:
+        """Greedy continuation of ``ctx`` (the harness ``generate_until``
+        core). Re-forwards the growing sequence each step — the serving
+        Engine is the fast path; this is the simple reference used for eval
+        protocols."""
+        toks = list(np.asarray(ctx).tolist())
+        start = len(toks)
+        for _ in range(max_new_tokens):
+            t_pad = min(_round_pow2(len(toks)), self.max_len)
+            ids = np.zeros((1, t_pad), np.int32)
+            window = toks[-t_pad:]
+            ids[0, : len(window)] = window
+            logits, _ = llama.forward(self.params, jnp.asarray(ids), self.cfg)
+            nxt = int(jnp.argmax(logits[0, len(window) - 1]))
+            toks.append(nxt)
+            if eos_id is not None and nxt == eos_id:
+                break
+            gen = toks[start:]
+            if any(len(s) > 0 and gen[-len(s):] == list(s)
+                   for s in stop_sequences):
+                break
+        return np.asarray(toks[start:], np.int32)
+
+
+def get_rolling_token_windows(token_list: list, prefix_token: int,
+                              max_seq_len: int, context_len: int = 1):
+    """(input_tokens, pred_tokens) windows over a stream, each token
+    predicted exactly once, later windows keeping maximal context
+    (lm-evaluation-harness utils.py:72-110 semantics)."""
+    assert 1 <= context_len <= max_seq_len
+    if not token_list:
+        return
+    pred_len = max_seq_len - context_len + 1
+    first = min(max_seq_len, len(token_list))
+    yield ([prefix_token] + token_list[: first - 1], token_list[:first])
+    predicted = first
+    while predicted < len(token_list):
+        window_pred_len = min(len(token_list) - predicted, pred_len)
+        window_end = predicted + window_pred_len
+        yield (token_list[window_end - max_seq_len - 1: window_end - 1],
+               token_list[window_end - window_pred_len: window_end])
+        predicted += window_pred_len
+
+
+def make_disjoint_window(pair):
+    """Trim the context so it does not overlap the continuation
+    (utils.py:113-116)."""
+    a, b = pair
+    return a[: len(a) - (len(b) - 1)], b
+
+
 def _round_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -117,7 +193,14 @@ class MultipleChoiceTask:
 
     def evaluate(self, lm: MXQLM, tokenize: Callable[[str], np.ndarray],
                  limit: Optional[int] = None) -> dict:
-        docs = list(self.docs())
+        docs = self.docs()
+        if docs is None:
+            raise RuntimeError(
+                f"task {self.name!r} has no documents — dataset unavailable "
+                "(datasets/network missing?)")
+        docs = list(docs)
+        if not docs:
+            raise RuntimeError(f"task {self.name!r} produced zero documents")
         if limit:
             docs = docs[:limit]
         reqs, spans = [], []
@@ -156,7 +239,7 @@ class PIQA(MultipleChoiceTask):
             ds = load_dataset("piqa", split="validation")
             return [MCDoc(f"Question: {d['goal']}\nAnswer:",
                           [d["sol1"], d["sol2"]], d["label"]) for d in ds]
-        return _hf_docs(load) or []
+        return _hf_docs(load)
 
 
 class Winogrande(MultipleChoiceTask):
@@ -176,7 +259,7 @@ class Winogrande(MultipleChoiceTask):
                                        d["option2"] + tail],
                                  int(d["answer"]) - 1))
             return out
-        return _hf_docs(load) or []
+        return _hf_docs(load)
 
 
 class HellaSwag(MultipleChoiceTask):
@@ -188,7 +271,7 @@ class HellaSwag(MultipleChoiceTask):
             ds = load_dataset("hellaswag", split="validation")
             return [MCDoc(d["ctx"], d["endings"], int(d["label"]))
                     for d in ds]
-        return _hf_docs(load) or []
+        return _hf_docs(load)
 
 
 class ArcEasy(MultipleChoiceTask):
@@ -204,16 +287,122 @@ class ArcEasy(MultipleChoiceTask):
                 out.append(MCDoc(f"Question: {d['question']}\nAnswer:",
                                  d["choices"]["text"], gold))
             return out
-        return _hf_docs(load) or []
+        return _hf_docs(load)
 
 
-TASKS = {t.name: t for t in (PIQA(), Winogrande(), HellaSwag(), ArcEasy())}
+class ArcChallenge(MultipleChoiceTask):
+    """Same protocol as arc_easy on the ARC-Challenge split (the vendored
+    harness's ARCChallenge subclass, tasks/arc.py:54-79)."""
+    name = "arc_challenge"
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            ds = load_dataset("ai2_arc", "ARC-Challenge", split="validation")
+            num2let = {"1": "A", "2": "B", "3": "C", "4": "D", "5": "E"}
+            out = []
+            for d in ds:
+                key = num2let.get(d["answerKey"], d["answerKey"])
+                gold = d["choices"]["label"].index(d["answerKey"]) \
+                    if d["answerKey"] in d["choices"]["label"] \
+                    else ["A", "B", "C", "D", "E"].index(key)
+                out.append(MCDoc(f"Question: {d['question']}\nAnswer:",
+                                 d["choices"]["text"], gold))
+            return out
+        return _hf_docs(load)
+
+
+class BoolQ(MultipleChoiceTask):
+    """Yes/no loglikelihood comparison (tasks/superglue.py:35-80: context =
+    passage + question, continuations " no"/" yes", gold = label)."""
+    name = "boolq"
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            ds = load_dataset("super_glue", "boolq", split="validation")
+            return [MCDoc(f"{d['passage']}\nQuestion: {d['question']}?"
+                          f"\nAnswer:", ["no", "yes"], int(d["label"]))
+                    for d in ds]
+        return _hf_docs(load)
+
+
+class SIQA(MultipleChoiceTask):
+    """Social-IQA 3-way MC (LLM-QAT README.md:42-55 protocol; social_i_qa
+    labels are 1-based)."""
+    name = "siqa"
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            ds = load_dataset("social_i_qa", split="validation")
+            return [MCDoc(f"Question: {d['context']} {d['question']}"
+                          f"\nAnswer:",
+                          [d["answerA"], d["answerB"], d["answerC"]],
+                          int(d["label"]) - 1)
+                    for d in ds]
+        return _hf_docs(load)
+
+
+class OpenBookQA(MultipleChoiceTask):
+    """OBQA: context is the bare question stem (tasks/openbookqa.py:55-65)."""
+    name = "obqa"
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            ds = load_dataset("openbookqa", "main", split="validation")
+            return [MCDoc(d["question_stem"], d["choices"]["text"],
+                          ["A", "B", "C", "D"].index(d["answerKey"].strip()))
+                    for d in ds]
+        return _hf_docs(load)
+
+
+class WikiTextRolling:
+    """Rolling-loglikelihood perplexity over wikitext-2 test — the harness's
+    `wikitext` task metrics (word_perplexity/byte_perplexity/bits_per_byte
+    over the document's full LL, PerplexityTask base.py:638+)."""
+
+    name = "wikitext"
+
+    def texts(self) -> Optional[list[str]]:
+        def load():
+            from datasets import load_dataset
+            ds = load_dataset("wikitext", "wikitext-2-raw-v1", split="test")
+            return ["\n\n".join(ds["text"])]
+        return _hf_docs(load)
+
+    def evaluate(self, lm: MXQLM, tokenize, limit: Optional[int] = None
+                 ) -> dict:
+        import re
+        texts = self.texts()
+        if texts is None:
+            raise RuntimeError(
+                "task 'wikitext' has no documents — dataset unavailable "
+                "(datasets/network missing?)")
+        if limit:
+            texts = [t[: limit * 2048] for t in texts]
+        lls = lm.loglikelihood_rolling([tokenize(t) for t in texts])
+        words = sum(len(re.split(r"\s+", t)) for t in texts)
+        bytes_ = sum(len(t.encode("utf-8")) for t in texts)
+        total = sum(lls)
+        return {"task": self.name,
+                "word_perplexity": float(np.exp(-total / max(words, 1))),
+                "byte_perplexity": float(np.exp(-total / max(bytes_, 1))),
+                "bits_per_byte": float(-total / max(bytes_, 1) / np.log(2)),
+                "n": len(texts)}
+
+
+TASKS = {t.name: t for t in (PIQA(), Winogrande(), HellaSwag(), ArcEasy(),
+                             ArcChallenge(), BoolQ(), SIQA(), OpenBookQA(),
+                             WikiTextRolling())}
 
 
 def evaluate(lm: MXQLM, tokenize, task_names: Sequence[str],
              limit: Optional[int] = None) -> list[dict]:
     """Run the named tasks (evaluator.simple_evaluate analogue,
-    evaluator.py:21-138)."""
+    evaluator.py:21-138). Raises if a task's dataset is unavailable rather
+    than silently reporting accuracy over zero documents."""
     results = []
     for name in task_names:
         task = TASKS[name]
@@ -245,9 +434,26 @@ def make_lm_eval_model(params, cfg: llama.LlamaConfig, tokenizer,
             return inner.loglikelihood(reqs)
 
         def loglikelihood_rolling(self, requests):
-            raise NotImplementedError
+            streams = [np.asarray(tokenizer(r.args[0])["input_ids"])
+                       for r in requests]
+            return inner.loglikelihood_rolling(streams)
 
         def generate_until(self, requests):
-            raise NotImplementedError
+            outs = []
+            for r in requests:
+                ctx, gen_kwargs = r.args
+                until = list(gen_kwargs.get("until", []))
+                max_new = int(gen_kwargs.get("max_gen_toks", 128))
+                ids = np.asarray(tokenizer(ctx)["input_ids"], np.int32)
+                stops = [np.asarray(tokenizer(u, add_special_tokens=False)
+                                    ["input_ids"]).tolist() for u in until]
+                toks = inner.greedy_generate(ids, max_new, stops)
+                text = tokenizer.decode(toks)
+                for u in until:  # trim at the first stop string
+                    i = text.find(u)
+                    if i >= 0:
+                        text = text[:i]
+                outs.append(text)
+            return outs
 
     return _Wrapped()

@@ -10,6 +10,9 @@ Must run before jax is imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# no network in CI: skip HF hub retry storms (5 retries x backoff per load)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

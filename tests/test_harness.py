@@ -59,7 +59,60 @@ def test_deterministic_golden():
 
 def test_registered_tasks_exist():
     assert set(harness.TASKS) == {"piqa", "winogrande", "hellaswag",
-                                  "arc_easy"}
+                                  "arc_easy", "arc_challenge", "boolq",
+                                  "siqa", "obqa", "wikitext"}
+
+
+def test_missing_dataset_raises():
+    """Dataset-less environments must raise, not report acc over n=0."""
+    import pytest
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    lm = harness.MXQLM(params, CFG, batch_size=2)
+    with pytest.raises(RuntimeError):
+        harness.evaluate(lm, toy_tokenize, ["boolq"], limit=2)
+
+
+def test_rolling_windows_reference_semantics():
+    """The docstring example from the vendored harness (base.py:58-72):
+    stream of 10 tokens, max_seq_len 4, each token predicted exactly once,
+    later windows keep maximal context."""
+    toks = list(range(10))
+    ws = [harness.make_disjoint_window(w)
+          for w in harness.get_rolling_token_windows(toks, -1, 4, 1)]
+    assert ws == [([-1], [0, 1, 2, 3]),
+                  ([3], [4, 5, 6, 7]),
+                  ([5, 6, 7], [8, 9])]
+    flat = [t for _, pred in ws for t in pred]
+    assert flat == toks
+
+
+def test_loglikelihood_rolling_equals_stepwise():
+    """Rolling LL of a short stream == sum of per-token conditional LLs
+    computed via plain loglikelihood requests."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    lm = harness.MXQLM(params, CFG, batch_size=4, max_len=64)
+    toks = toy_tokenize("rolling loglikelihood check")[:12]
+    (total,) = lm.loglikelihood_rolling([toks], prefix_token=2)
+    reqs = [(np.asarray([2], np.int32), np.asarray(toks[:1], np.int32))]
+    for i in range(1, len(toks)):
+        reqs.append((np.asarray([2] + list(toks[:i]), np.int32),
+                     np.asarray(toks[i:i + 1], np.int32)))
+    parts = lm.loglikelihood(reqs)
+    np.testing.assert_allclose(total, sum(s for s, _ in parts), rtol=2e-3)
+
+
+def test_greedy_generate_deterministic_and_stops():
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    lm = harness.MXQLM(params, CFG, batch_size=1, max_len=64)
+    ctx = toy_tokenize("generate from here")
+    a = lm.greedy_generate(ctx, max_new_tokens=8)
+    b = lm.greedy_generate(ctx, max_new_tokens=8)
+    np.testing.assert_array_equal(a, b)
+    assert 1 <= len(a) <= 8
+    # stop sequence: the first generated token itself
+    c = lm.greedy_generate(ctx, max_new_tokens=8,
+                           stop_sequences=[[int(a[0])]])
+    assert len(c) == 1
 
 
 def test_right_padding_invariance():

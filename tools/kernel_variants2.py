@@ -459,6 +459,268 @@ def permute_x4_v6(x4, n_kt):
 
 
 # ---------------------------------------------------------------------------
+# vp: prefill (GEMM-regime) kernel. Unpack each (n, k) weight tile ONCE into
+# a bf16 VMEM scratch, then TWO full-K MXU dots per k-tile ([B,768]x[768,NL]
+# + [B,256]x[256,NL]) instead of 24 skinny K=48 dots — full MXU utilization
+# and no HBM dequant roundtrip. Unpack cost amortizes over block_b rows.
+# ---------------------------------------------------------------------------
+
+
+def kernel_vp(x2_ref, x4_ref, xs_ref, w2_ref, w4_ref, meta_ref, qs_ref,
+              qm_ref, sm_ref, out_ref, acc_ref, wd2_ref, wd4_ref, *, nl):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_eff, zc = _decode_meta(meta_ref, qs_ref, qm_ref)
+    neg_sz = s_eff * zc
+    w2 = w2_ref[:]
+    for j in range(16):
+        c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+        w_j = s_eff * c_j.astype(jnp.float32) - neg_sz
+        wd2_ref[pl.ds(j * W2_ROWS, W2_ROWS), :] = w_j.astype(jnp.bfloat16)
+
+    s4 = sm_ref[0:1, :]
+    z4 = sm_ref[1:2, :]
+    sz4 = s4 * z4
+    w4 = w4_ref[:]
+    for j in range(8):
+        c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+        w_j = s4 * c_j.astype(jnp.float32) - sz4
+        wd4_ref[pl.ds(j * W4_ROWS, W4_ROWS), :] = w_j.astype(jnp.bfloat16)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x2_ref[:], wd2_ref[:], DN, preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        x4_ref[:], wd4_ref[:], DN, preferred_element_type=jnp.float32)
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def kernel_vp2(x2_ref, x4_ref, xs_ref, w2_ref, w4_ref, meta_ref, qs_ref,
+               qm_ref, sm_ref, out_ref, acc_ref, wd2_ref, wd4_ref, *, nl,
+               m=2):
+    """vp processing m k-tiles per grid step with unpack(t+1) interleaved
+    after dot(t) so the VPU works under the MXU's dots. Double-buffered
+    wdeq scratch (dim 0 = t parity)."""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s4 = sm_ref[0:1, :]
+    z4 = sm_ref[1:2, :]
+    sz4 = s4 * z4
+
+    def unpack(t, buf):
+        s_eff, zc = _decode_meta_vals(
+            meta_ref[pl.ds(t * NB_TILE, NB_TILE), :],
+            qs_ref[pl.ds(t * NB_TILE, NB_TILE), :],
+            qm_ref[pl.ds(t * NB_TILE, NB_TILE), :])
+        neg_sz = s_eff * zc
+        w2 = w2_ref[pl.ds(t * W2_ROWS, W2_ROWS), :]
+        for j in range(16):
+            c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+            w_j = s_eff * c_j.astype(jnp.float32) - neg_sz
+            wd2_ref[buf, pl.ds(j * W2_ROWS, W2_ROWS), :] = \
+                w_j.astype(jnp.bfloat16)
+        w4 = w4_ref[pl.ds(t * W4_ROWS, W4_ROWS), :]
+        for j in range(8):
+            c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+            w_j = s4 * c_j.astype(jnp.float32) - sz4
+            wd4_ref[buf, pl.ds(j * W4_ROWS, W4_ROWS), :] = \
+                w_j.astype(jnp.bfloat16)
+
+    def dot(t, buf):
+        acc_ref[:] += jax.lax.dot_general(
+            x2_ref[pl.ds(t * K2T, K2T), :], wd2_ref[buf], DN,
+            preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            x4_ref[pl.ds(t * K4T, K4T), :], wd4_ref[buf], DN,
+            preferred_element_type=jnp.float32)
+
+    unpack(0, 0)
+    for t in range(1, m):
+        unpack(t, t % 2)       # scheduler may run this under dot(t-1)
+        dot(t - 1, (t - 1) % 2)
+    dot(m - 1, (m - 1) % 2)
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+DN_NAT = (((1,), (0,)), ((), ()))   # standard [B,K] @ [K,N]
+
+
+def kernel_vp3(x2_ref, x4_ref, xs_ref, w2_ref, w4_ref, meta_ref, qs_ref,
+               qm_ref, sm_ref, out_ref, acc_ref, wd2_ref, wd4_ref, *, nl,
+               m=2):
+    """vp2 with NATURAL-layout activations [B, K]: standard matmul dimension
+    numbers so the MXU consumes x without a relayout (the GEMV kernels use
+    transposed [K, B] x for sublane slab slicing — cheap at B=8, a full
+    transpose per dot at B=512)."""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s4 = sm_ref[0:1, :]
+    z4 = sm_ref[1:2, :]
+    sz4 = s4 * z4
+
+    def unpack(t, buf):
+        s_eff, zc = _decode_meta_vals(
+            meta_ref[pl.ds(t * NB_TILE, NB_TILE), :],
+            qs_ref[pl.ds(t * NB_TILE, NB_TILE), :],
+            qm_ref[pl.ds(t * NB_TILE, NB_TILE), :])
+        neg_sz = s_eff * zc
+        w2 = w2_ref[pl.ds(t * W2_ROWS, W2_ROWS), :]
+        for j in range(16):
+            c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+            w_j = s_eff * c_j.astype(jnp.float32) - neg_sz
+            wd2_ref[buf, pl.ds(j * W2_ROWS, W2_ROWS), :] = \
+                w_j.astype(jnp.bfloat16)
+        w4 = w4_ref[pl.ds(t * W4_ROWS, W4_ROWS), :]
+        for j in range(8):
+            c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+            w_j = s4 * c_j.astype(jnp.float32) - sz4
+            wd4_ref[buf, pl.ds(j * W4_ROWS, W4_ROWS), :] = \
+                w_j.astype(jnp.bfloat16)
+
+    def dot(t, buf):
+        acc_ref[:] += jax.lax.dot_general(
+            x2_ref[:, pl.ds(t * K2T, K2T)], wd2_ref[buf], DN_NAT,
+            preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            x4_ref[:, pl.ds(t * K4T, K4T)], wd4_ref[buf], DN_NAT,
+            preferred_element_type=jnp.float32)
+
+    unpack(0, 0)
+    for t in range(1, m):
+        unpack(t, t % 2)
+        dot(t - 1, (t - 1) % 2)
+    dot(m - 1, (m - 1) % 2)
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def run_prefill(p, x, cfg=CFG, block_b=512, block_n=512, kernel=None,
+                kt_mult=1, tag="vp", natural_x=False):
+    """Time a prefill kernel on a GEMM-shaped x [B, K] vs bf16 dense + the
+    round-1 dequant-to-bf16 path."""
+    from mxq_tpu.ops import mxq_matmul as mm
+
+    nbp, n = p.meta2.shape
+    n_kt = nbp // NB_TILE
+    b, k_in = x.shape
+    m = kt_mult
+    grid = (b // block_b, n // block_n, n_kt // m)
+    if kernel is None:
+        kernel = kernel_vp
+        scratch = [pltpu.VMEM((block_b, block_n), jnp.float32),
+                   pltpu.VMEM((K2T, block_n), jnp.bfloat16),
+                   pltpu.VMEM((K4T, block_n), jnp.bfloat16)]
+    else:
+        scratch = [pltpu.VMEM((block_b, block_n), jnp.float32),
+                   pltpu.VMEM((2, K2T, block_n), jnp.bfloat16),
+                   pltpu.VMEM((2, K4T, block_n), jnp.bfloat16)]
+
+    call = pl.pallas_call(
+        functools.partial(kernel, nl=block_n),
+        grid=grid,
+        in_specs=([
+            pl.BlockSpec((block_b, K2T * m), lambda bi, ni, ki: (bi, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, K4T * m), lambda bi, ni, ki: (bi, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, XS_ROWS * m), lambda bi, ni, ki: (bi, ki),
+                         memory_space=pltpu.VMEM),
+        ] if natural_x else [
+            pl.BlockSpec((K2T * m, block_b), lambda bi, ni, ki: (ki, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K4T * m, block_b), lambda bi, ni, ki: (ki, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((XS_ROWS * m, block_b), lambda bi, ni, ki: (ki, bi),
+                         memory_space=pltpu.VMEM),
+        ]) + [
+            pl.BlockSpec((W2_ROWS * m, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W4_ROWS * m, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE * m, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE * m, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE * m, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda bi, ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, block_n), lambda bi, ni, ki: (bi, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=scratch,
+    )
+
+    def prep(xin):
+        x2, x4 = packfmt.pad_inputs_split(xin, p, cfg)
+        a = mm.permute_x2(x2, n_kt).astype(jnp.bfloat16)
+        b_ = mm.permute_x4(x4, n_kt).astype(jnp.bfloat16)
+        s = prep_xsum_v3(x2, x4, n_kt)
+        if not natural_x:
+            a, b_ = a.T, b_.T
+        else:
+            s = s.T
+        return a, b_, s
+
+    a, b_, s = prep(x)
+    const = (p.w2, p.w4, p.meta2, p.qscale, p.qmin, p.smeta4)
+    y = call(a, b_, s, *const)
+    ref = x.astype(jnp.float32) @ packfmt.unpack_dequant(p, cfg)
+    ref = jnp.pad(ref, ((0, 0), (0, n - ref.shape[1])))
+    err = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    print(f"{tag} b{block_b} n{block_n}: rel_err={err:.2e}", flush=True)
+    if err > 2e-2:
+        print("  !! INCORRECT", flush=True)
+        return
+
+    def stepf(c, xin):
+        a, b_, s = prep(xin)
+        return call(a, b_, s, *c)[:, :k_in]
+
+    t = time_op(stepf, x, const=const)
+    print(f"{tag} b{block_b} n{block_n}: {t*1e6:.1f} us "
+          f"({2*b*k_in*n/t/1e12:.1f} TFLOP/s eq)", flush=True)
+
+    # baselines
+    wd = jnp.asarray(np.asarray(packfmt.unpack_dequant(p, cfg)),
+                     jnp.bfloat16)
+
+    def step_dense(c, xin):
+        return (xin.astype(jnp.bfloat16) @ c[0]).astype(jnp.float32)
+
+    td = time_op(step_dense, x, const=(wd,))
+    print(f"bf16 dense: {td*1e6:.1f} us", flush=True)
+
+    def step_dq(c, xin):
+        w = mm.mxq_dequant_weight(p, cfg)
+        return (xin.astype(jnp.bfloat16) @ w).astype(jnp.float32)
+
+    tq = time_op(step_dq, x, const=const)
+    print(f"dequant->bf16 path: {tq*1e6:.1f} us", flush=True)
+    return t, td, tq
+
+
+# ---------------------------------------------------------------------------
 # harness
 # ---------------------------------------------------------------------------
 
@@ -602,6 +864,27 @@ def main():
     if "v3m2" in which:
         run_variant("v3m2", functools.partial(kernel_v3_m, m=2), p, x,
                     x_prep="v3", kt_mult=2, x_dtype=jnp.bfloat16)
+    if "vp" in which:
+        xg = jnp.asarray(rng.randn(2048, k).astype(np.float32))
+        run_prefill(p, xg, block_b=512, block_n=512)
+        run_prefill(p, xg, block_b=512, block_n=1024)
+        run_prefill(p, xg, block_b=1024, block_n=512)
+    if "vp2" in which:
+        xg = jnp.asarray(rng.randn(2048, k).astype(np.float32))
+        run_prefill(p, xg, block_b=512, block_n=512, kernel=kernel_vp2,
+                    kt_mult=2, tag="vp2")
+        run_prefill(p, xg, block_b=512, block_n=1024, kernel=kernel_vp2,
+                    kt_mult=2, tag="vp2")
+        run_prefill(p, xg, block_b=1024, block_n=256, kernel=kernel_vp2,
+                    kt_mult=2, tag="vp2")
+    if "vp3" in which:
+        xg = jnp.asarray(rng.randn(2048, k).astype(np.float32))
+        run_prefill(p, xg, block_b=512, block_n=512, kernel=kernel_vp3,
+                    kt_mult=2, tag="vp3", natural_x=True)
+        run_prefill(p, xg, block_b=512, block_n=1024, kernel=kernel_vp3,
+                    kt_mult=2, tag="vp3", natural_x=True)
+        run_prefill(p, xg, block_b=256, block_n=1024, kernel=kernel_vp3,
+                    kt_mult=2, tag="vp3", natural_x=True)
 
 
 if __name__ == "__main__":
