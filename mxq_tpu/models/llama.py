@@ -199,18 +199,13 @@ def quant_linear(x: jax.Array, w, cfg: LlamaConfig,
         import numpy as _np
         tokens = int(_np.prod(x.shape[:-1]))
         if tokens >= 512:
-            # prefill/training regime: the fused GEMV kernel is VPU/MXU-f32
-            # bound at large batch — dequantize once to bf16 and use the XLA
-            # matmul (measured 2.4x faster at T=2048)
+            # prefill/training regime: the matmul is MXU-bound — pallas
+            # dequant kernel into slab-order bf16 planes + XLA's tuned GEMM
+            # (~1.5x over letting XLA fuse the jnp unpack; see
+            # ops/mxq_matmul.py prefill section)
             if isinstance(w, StackedPackedRef):
-                p = jax.tree_util.tree_map(
-                    lambda a: jax.lax.dynamic_index_in_dim(a, w.idx, 0,
-                                                           keepdims=False),
-                    w.packed)
-            else:
-                p = w
-            wdq = _pf.unpack_dequant(p, cfg.scheme).astype(jnp.bfloat16)
-            return (x.astype(jnp.bfloat16) @ wdq).astype(x.dtype)
+                return _mm.mxq_matmul_prefill(x, w.packed, w.idx, cfg.scheme)
+            return _mm.mxq_matmul_prefill(x, w, None, cfg.scheme)
         if isinstance(w, StackedPackedRef):
             return _mm.mxq_matmul_stacked(x, w.packed, w.idx, cfg.scheme)
         return _mm.mxq_matmul(x, w, cfg.scheme)

@@ -35,3 +35,48 @@ def test_3d_input():
     assert y.shape == (2, 3, 256)
     y2 = mm.mxq_matmul(x.reshape(6, 1024), p, CFG).reshape(2, 3, 256)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("b,o,k", [(512, 256, 1024), (96, 100, 2112)])
+def test_prefill_matches_reference_dequant(b, o, k):
+    """GEMM-regime path: pallas dequant to slab-order bf16 planes + XLA matmul."""
+    w = jax.random.normal(jax.random.PRNGKey(4), (o, k), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (b, k), jnp.float32)
+    p = packfmt.quantize_pack(w, CFG)
+    y = mm.mxq_matmul_prefill(x, p, None, CFG)
+    wd = packfmt.unpack_dequant(p, CFG).astype(jnp.bfloat16)
+    y_ref = x.astype(jnp.bfloat16) @ wd
+    assert y.shape == (b, o)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=3e-2, atol=3e-1)
+
+
+def test_prefill_stacked_indexing():
+    """Stacked [L, ...] packed weights indexed by a traced layer id."""
+    l, o, k, b = 3, 256, 1024, 64
+    ws = jax.random.normal(jax.random.PRNGKey(6), (l, o, k), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(7), (b, k), jnp.float32)
+    ps = jax.vmap(lambda w: packfmt.quantize_pack(w, CFG))(ws)
+
+    @jax.jit
+    def at(idx):
+        return mm.mxq_matmul_prefill(x, ps, idx, CFG)
+
+    for i in range(l):
+        pi = jax.tree_util.tree_map(lambda a: a[i], ps)
+        y_ref = mm.mxq_matmul_prefill(x, pi, None, CFG)
+        np.testing.assert_allclose(np.asarray(at(jnp.int32(i))),
+                                   np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_prefill_3d_and_agreement_with_gemv_path():
+    """The two execution paths (fused GEMV kernel vs dequant+XLA GEMM) agree."""
+    w = jax.random.normal(jax.random.PRNGKey(8), (256, 1024), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 40, 1024), jnp.float32)
+    p = packfmt.quantize_pack(w, CFG)
+    y_pre = mm.mxq_matmul_prefill(x, p, None, CFG)
+    y_gemv = mm.mxq_matmul(x, p, CFG)
+    assert y_pre.shape == (2, 40, 256)
+    np.testing.assert_allclose(np.asarray(y_pre), np.asarray(y_gemv),
+                               rtol=3e-2, atol=3e-1)

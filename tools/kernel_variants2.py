@@ -877,6 +877,34 @@ def main():
                     kt_mult=2, tag="vp2")
         run_prefill(p, xg, block_b=1024, block_n=256, kernel=kernel_vp2,
                     kt_mult=2, tag="vp2")
+    if "vpd" in which:
+        from mxq_tpu.ops import mxq_matmul as mm
+        xg = jnp.asarray(rng.randn(2048, k).astype(np.float32))
+
+        def step_pd(c, xin):
+            return mm.mxq_matmul_prefill(xin, c, None, CFG)
+
+        y = step_pd(p, xg)
+        ref = xg @ packfmt.unpack_dequant(p, CFG)[:, :y.shape[1]]
+        err = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+        print(f"vpd: rel_err={err:.2e}", flush=True)
+        t = time_op(step_pd, xg, const=p)
+        print(f"vpd (pallas dequant + XLA matmul): {t*1e6:.1f} us", flush=True)
+        wd = jnp.asarray(np.asarray(packfmt.unpack_dequant(p, CFG)),
+                         jnp.bfloat16)
+
+        def step_dense(c, xin):
+            return (xin.astype(jnp.bfloat16) @ c[0]).astype(jnp.float32)
+
+        td = time_op(step_dense, xg, const=(wd,))
+        print(f"bf16 dense: {td*1e6:.1f} us", flush=True)
+
+        def step_dq(c, xin):
+            w = mm.mxq_dequant_weight(c, CFG)
+            return (xin.astype(jnp.bfloat16) @ w).astype(jnp.float32)
+
+        tq = time_op(step_dq, xg, const=p)
+        print(f"XLA dequant path: {tq*1e6:.1f} us", flush=True)
     if "vp3" in which:
         xg = jnp.asarray(rng.randn(2048, k).astype(np.float32))
         run_prefill(p, xg, block_b=512, block_n=512, kernel=kernel_vp3,
