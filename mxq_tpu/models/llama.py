@@ -285,21 +285,35 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
         idx = cache["layer_idx"]
         quant = "k_codes" in cache
         if quant:
+            # head-major int8 cache: codes [L,B,H,S,D], scales [L,B,H,S]
             from mxq_tpu.serving import kvcache as _kvc
-            group = cache["k_codes"].shape[-1] // cache["k_scale"].shape[-1]
-            kc, ksc = _kvc.quantize_kv(k, group)
-            vc, vsc = _kvc.quantize_kv(v, group)
-            upd = lambda buf, val: jax.lax.dynamic_update_slice(
-                buf, val[None].astype(buf.dtype), (idx, 0, cache_pos, 0, 0))
-            new_cache = {"k_codes": upd(cache["k_codes"], kc),
-                         "k_scale": upd(cache["k_scale"], ksc),
-                         "v_codes": upd(cache["v_codes"], vc),
-                         "v_scale": upd(cache["v_scale"], vsc),
+            kc, ksc = _kvc.quantize_kv_headmajor(k)     # [B,H,T,D], [B,H,T]
+            vc, vsc = _kvc.quantize_kv_headmajor(v)
+            updc = lambda buf, val: jax.lax.dynamic_update_slice(
+                buf, val[None].astype(buf.dtype), (idx, 0, 0, cache_pos, 0))
+            upds = lambda buf, val: jax.lax.dynamic_update_slice(
+                buf, val[None].astype(buf.dtype), (idx, 0, 0, cache_pos))
+            new_cache = {"k_codes": updc(cache["k_codes"], kc),
+                         "k_scale": upds(cache["k_scale"], ksc),
+                         "v_codes": updc(cache["v_codes"], vc),
+                         "v_scale": upds(cache["v_scale"], vsc),
                          "layer_idx": idx}
             layer_view = {kk: jax.lax.dynamic_index_in_dim(
                 new_cache[kk], idx, 0, keepdims=False)
                 for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
-            k, v = _kvc.cache_read_layer(layer_view, group, dtype=x.dtype)
+            if t == 1:
+                # fused decode attention consumes the int8 codes directly —
+                # HBM reads stay int8 and no full-cache dequant materializes
+                # (the round-1 regression, docs/RESULTS.md)
+                from mxq_tpu.ops import attn_int8 as _a8
+                positions = jnp.full((b,), cache_pos, jnp.int32)
+                ctx = _a8.int8_decode_attention(
+                    q[:, 0], layer_view["k_codes"], layer_view["k_scale"],
+                    layer_view["v_codes"], layer_view["v_scale"], positions)
+                ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
+                return (quant_linear(ctx, layer["o_proj"], cfg, train),
+                        new_cache)
+            k, v = _kvc.cache_read_layer(layer_view, dtype=x.dtype)
         else:
             upd = lambda buf, val: jax.lax.dynamic_update_slice(
                 buf, val[None].astype(buf.dtype), (idx, 0, cache_pos, 0, 0))
@@ -312,10 +326,8 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
     elif cache is not None and "k_codes" in cache:
         # really-quantized int8 KV cache (serving path; see serving/kvcache.py)
         from mxq_tpu.serving import kvcache as _kvc
-        group = cache["k_scale"].shape[-1] and (
-            cache["k_codes"].shape[-1] // cache["k_scale"].shape[-1])
-        new_cache = _kvc.cache_update_layer(cache, k, v, cache_pos, group)
-        k, v = _kvc.cache_read_layer(new_cache, group, dtype=x.dtype)
+        new_cache = _kvc.cache_update_layer(cache, k, v, cache_pos)
+        k, v = _kvc.cache_read_layer(new_cache, dtype=x.dtype)
     elif cache is not None:
         k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
                                          (0, cache_pos, 0, 0))
@@ -409,8 +421,10 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
     sin = sin.astype(x.dtype)
     if mask is None:
         if caches is not None:
-            kbuf = caches.get("k", caches.get("k_codes"))
-            s = kbuf.shape[2]
+            if "k_codes" in caches:
+                s = caches["k_codes"].shape[3]      # [L, B, H, S, D]
+            else:
+                s = caches["k"].shape[2]            # [L, B, S, H, D]
             kpos = jnp.arange(s)[None, :]
             qpos = positions[:, :, None]
             valid = kpos[:, None, :] <= qpos

@@ -1,0 +1,150 @@
+"""Fused int8-KV decode attention (pallas).
+
+The serving engine stores the KV cache as int8 codes + per-(head, token)
+bf16 scales (serving/kvcache.py). Round 1 dequantized the ENTIRE cache to
+bf16 every decode step (kvcache.cache_read_layer) — paying the full bf16
+read AND the dequant, which made int8 KV a regression (docs/RESULTS.md r1).
+This kernel consumes the codes directly:
+
+  per (batch, kv-head):   s   = (q @ K_codes^T) * k_scale      [G, S]
+                          p   = softmax(s / sqrt(d) + mask)
+                          ctx = (p * v_scale) @ V_codes         [G, D]
+
+so HBM traffic is the int8 codes (half of bf16) and the dequant multiplies
+collapse to one vector op per row — the scale is per-token (group =
+head_dim), so it factors out of both dots (the same algebra the reference's
+CUDA GEMV uses for its per-group scales, gemv_mxq_cuda.cu:135-136).
+
+Cache layout contract (quantized serving cache only): codes
+[B, H_kv, S, D] int8, scales [B, H_kv, S] bf16 — per-head-contiguous so
+each grid step DMAs one dense [S, D] block. Requires group == head_dim.
+
+GQA: the G = H_q // H_kv query heads of a kv head are processed together
+(padded to >= 8 sublanes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = float(np.finfo(np.float32).min)
+
+
+def _kernel(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref, *,
+            scale):
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+
+    q = q_ref[0, 0]                                    # [G8, D] bf16
+    kc = kc_ref[0, 0]                                  # [S, D]  int8
+    ks = ks_ref[0, 0]                                  # [1, S]  bf16
+
+    # flash-style dims: contract D of both operands (q [G8,D] x k [S,D])
+    st = jax.lax.dot_general(
+        q, kc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [G8, S]
+    st = st * (ks.astype(jnp.float32) * scale)
+
+    kpos = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+    st = jnp.where(kpos <= pos, st, NEG)
+
+    m = jnp.max(st, axis=1, keepdims=True)
+    p = jnp.exp(st - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+
+    vs = vs_ref[0, 0]                                  # [1, S]
+    pv = (p * vs.astype(jnp.float32)).astype(jnp.bfloat16)
+    vc = vc_ref[0, 0]                                  # [S, D] int8
+    ctx = jax.lax.dot_general(
+        pv, vc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [G8, D]
+    o_ref[0, 0] = (ctx / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret",))
+def _attn_call(q, kc, ks, vc, vs, positions, *, interpret):
+    b, hkv, g8, d = q.shape
+    s = kc.shape[2]
+    grid = (b, hkv)
+    scale = 1.0 / float(np.sqrt(d))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, g8, d), lambda bi, hi, p: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi, p: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s), lambda bi, hi, p: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda bi, hi, p: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s), lambda bi, hi, p: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g8, d), lambda bi, hi, p: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g8, d), jnp.float32),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), q, kc, ks[:, :, None, :], vc,
+      vs[:, :, None, :])
+
+
+def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def int8_decode_attention(q, k_codes, k_scale, v_codes, v_scale, positions,
+                          interpret: bool | None = None) -> jax.Array:
+    """One-token attention over the quantized cache.
+
+    q:         [B, H_q, D]   (T=1 squeezed)
+    k/v_codes: [B, H_kv, S, D] int8
+    k/v_scale: [B, H_kv, S]    bf16 (group == head_dim)
+    positions: [B] int32 — index of the CURRENT token (mask keys > pos)
+    Returns [B, H_q, D] f32.
+    """
+    if interpret is None:
+        interpret = _on_cpu()
+    b, hq, d = q.shape
+    hkv = k_codes.shape[1]
+    g = hq // hkv
+    g8 = max(8, g)
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    if g8 != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
+    out = _attn_call(qg, k_codes, k_scale, v_codes, v_scale, positions,
+                     interpret=interpret)
+    return out[:, :, :g, :].reshape(b, hq, d)
+
+
+def int8_decode_attention_reference(q, k_codes, k_scale, v_codes, v_scale,
+                                    positions) -> jax.Array:
+    """jnp oracle: dequantize-then-attend (the round-1 path, kept as the
+    correctness reference and CPU fallback)."""
+    b, hq, d = q.shape
+    hkv = k_codes.shape[1]
+    k = k_codes.astype(jnp.float32) * k_scale.astype(jnp.float32)[..., None]
+    v = v_codes.astype(jnp.float32) * v_scale.astype(jnp.float32)[..., None]
+    if hkv != hq:
+        rep = hq // hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    qf = q.astype(jnp.float32)
+    st = jnp.einsum("bhd,bhsd->bhs", qf, k) / np.sqrt(d)
+    s = k.shape[2]
+    mask = jnp.arange(s)[None, None, :] <= positions[:, None, None]
+    st = jnp.where(mask, st, NEG)
+    p = jax.nn.softmax(st, axis=-1)
+    return jnp.einsum("bhs,bhsd->bhd", p, v)

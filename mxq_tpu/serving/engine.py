@@ -102,7 +102,8 @@ class Engine:
                     lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1),
                     caches)
                 t = ids.shape[1]
-                s = jax.tree_util.tree_leaves(sl)[0].shape[2]
+                s = (sl["k_codes"].shape[3] if "k_codes" in sl
+                     else sl["k"].shape[2])
                 # queries 0..t over full cache length s: causal + pad columns
                 qpos = jnp.arange(t)[:, None]
                 kpos = jnp.arange(s)[None, :]
@@ -201,14 +202,11 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
     cos, sin = llama.rope_tables(cfg, positions[:, None].astype(jnp.float32))
     cos = cos.astype(x.dtype)
     sin = sin.astype(x.dtype)
-    kbuf = caches.get("k", caches.get("k_codes"))
-    s = kbuf.shape[2]
+    quant = "k_codes" in caches
+    s = caches["k_codes"].shape[3] if quant else caches["k"].shape[2]
     kpos = jnp.arange(s)[None, :]
     mask = jnp.where(kpos <= positions[:, None], 0.0,
                      jnp.finfo(jnp.float32).min)[:, None, None, :]
-
-    quant = "k_codes" in caches
-    group = (kbuf.shape[-1] // caches["k_scale"].shape[-1]) if quant else None
 
     from mxq_tpu.packfmt import PackedMXQLinear
     layer_params = params["layers"]
@@ -237,39 +235,55 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
             v = llama.quant_linear(h, layer["v_proj"], cfg).reshape(b_, t, nkv, d)
         q, k = llama.apply_rope(q, k, cos, sin)
 
-        def scatter(buf, val):
-            # buf [B, S, H, Dg], val [B, 1, H, Dg]: write each slot's new
-            # token at its OWN position (indexed scatter — writes B rows,
-            # not a one-hot rewrite of the whole cache)
-            return buf.at[jnp.arange(buf.shape[0]), positions].set(
-                val[:, 0].astype(buf.dtype))
-
         if quant:
-            kc, ks = kvcache.quantize_kv(k, group)
-            vc, vs = kvcache.quantize_kv(v, group)
+            # head-major int8 cache: codes [B, H, S, D], scales [B, H, S].
+            # Each slot's one new token lands at its OWN position via an
+            # indexed scatter (writes B rows, not a one-hot cache rewrite).
+            kc, ks = kvcache.quantize_kv_headmajor(k)   # [B,H,1,D], [B,H,1]
+            vc, vs = kvcache.quantize_kv_headmajor(v)
+            rows = jnp.arange(b_)
+
+            def scat_c(buf, val):
+                return buf.at[rows, :, positions].set(
+                    val[:, :, 0].astype(buf.dtype))
+
+            def scat_s(buf, val):
+                return buf.at[rows, :, positions].set(
+                    val[:, :, 0].astype(buf.dtype))
+
             cache = {
-                "k_codes": scatter(cache["k_codes"], kc),
-                "k_scale": scatter(cache["k_scale"], ks),
-                "v_codes": scatter(cache["v_codes"], vc),
-                "v_scale": scatter(cache["v_scale"], vs),
+                "k_codes": scat_c(cache["k_codes"], kc),
+                "k_scale": scat_s(cache["k_scale"], ks),
+                "v_codes": scat_c(cache["v_codes"], vc),
+                "v_scale": scat_s(cache["v_scale"], vs),
             }
-            kk, vv = kvcache.cache_read_layer(cache, group, dtype=x.dtype)
+            # fused decode attention straight off the int8 codes
+            from mxq_tpu.ops import attn_int8 as _a8
+            ctx = _a8.int8_decode_attention(
+                q[:, 0], cache["k_codes"], cache["k_scale"],
+                cache["v_codes"], cache["v_scale"], positions)
+            ctx = ctx.reshape(b_, t, nh * d).astype(x.dtype)
         else:
+            def scatter(buf, val):
+                # buf [B, S, H, D], val [B, 1, H, D]
+                return buf.at[jnp.arange(buf.shape[0]), positions].set(
+                    val[:, 0].astype(buf.dtype))
+
             cache = {"k": scatter(cache["k"], k),
                      "v": scatter(cache["v"], v)}
             kk, vv = cache["k"], cache["v"]
-
-        if nkv != nh:
-            rep = nh // nkv
-            kk = jnp.repeat(kk, rep, axis=2)
-            vv = jnp.repeat(vv, rep, axis=2)
-        qf = q.transpose(0, 2, 1, 3).astype(jnp.float32)
-        kf = kk.transpose(0, 2, 1, 3).astype(jnp.float32)
-        vf = vv.transpose(0, 2, 1, 3)
-        scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf) / np.sqrt(d)
-        probs = jax.nn.softmax(scores + mask, axis=-1).astype(vf.dtype)
-        ctx = jnp.einsum("bhts,bhsd->bhtd", probs, vf)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b_, t, nh * d).astype(x.dtype)
+            if nkv != nh:
+                rep = nh // nkv
+                kk = jnp.repeat(kk, rep, axis=2)
+                vv = jnp.repeat(vv, rep, axis=2)
+            qf = q.transpose(0, 2, 1, 3).astype(jnp.float32)
+            kf = kk.transpose(0, 2, 1, 3).astype(jnp.float32)
+            vf = vv.transpose(0, 2, 1, 3)
+            scores = jnp.einsum("bhtd,bhsd->bhts", qf, kf) / np.sqrt(d)
+            probs = jax.nn.softmax(scores + mask, axis=-1).astype(vf.dtype)
+            ctx = jnp.einsum("bhts,bhsd->bhtd", probs, vf)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b_, t, nh * d).astype(
+                x.dtype)
         x = x + llama.quant_linear(ctx, layer["o_proj"], cfg)
         h2 = llama.rms_norm(x, layer["post_attention_layernorm"],
                             cfg.rms_norm_eps)

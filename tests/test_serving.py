@@ -32,6 +32,44 @@ class TestKVQuant:
         assert err < np.abs(np.asarray(x)).max() / 100
 
 
+class TestInt8Attention:
+    def test_kernel_matches_reference(self):
+        """Fused int8-KV decode attention (pallas, interpret on CPU) vs the
+        dequantize-then-attend jnp oracle, incl. GQA + per-row masking."""
+        from mxq_tpu.ops import attn_int8
+        b, hq, hkv, s, d = 2, 8, 4, 64, 64
+        keys = jax.random.split(jax.random.PRNGKey(0), 5)
+        q = jax.random.normal(keys[0], (b, hq, d), jnp.float32)
+        kc = jax.random.randint(keys[1], (b, hkv, s, d), -127, 128, jnp.int8)
+        vc = jax.random.randint(keys[2], (b, hkv, s, d), -127, 128, jnp.int8)
+        ks = (jax.random.uniform(keys[3], (b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        vs = (jax.random.uniform(keys[4], (b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        positions = jnp.array([5, 63], jnp.int32)
+        out = attn_int8.int8_decode_attention(q, kc, ks, vc, vs, positions)
+        ref = attn_int8.int8_decode_attention_reference(q, kc, ks, vc, vs,
+                                                        positions)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-3)
+
+    def test_mha_no_groups(self):
+        from mxq_tpu.ops import attn_int8
+        b, h, s, d = 1, 4, 32, 64
+        keys = jax.random.split(jax.random.PRNGKey(1), 5)
+        q = jax.random.normal(keys[0], (b, h, d), jnp.float32)
+        kc = jax.random.randint(keys[1], (b, h, s, d), -127, 128, jnp.int8)
+        vc = jax.random.randint(keys[2], (b, h, s, d), -127, 128, jnp.int8)
+        ks = jnp.full((b, h, s), 0.01, jnp.bfloat16)
+        vs = jnp.full((b, h, s), 0.01, jnp.bfloat16)
+        positions = jnp.array([17], jnp.int32)
+        out = attn_int8.int8_decode_attention(q, kc, ks, vc, vs, positions)
+        ref = attn_int8.int8_decode_attention_reference(q, kc, ks, vc, vs,
+                                                        positions)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-3)
+
+
 class TestEngine:
     def test_matches_greedy_decode(self):
         params = llama.init_params(CFG, jax.random.PRNGKey(0))
