@@ -277,6 +277,16 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
     v = v.reshape(b, t, nkv, d)
     q, k = apply_rope(q, k, cos, sin)
 
+    # Cached PREFILL at position 0 only sees this chunk's own keys, so
+    # attention can run flash over the fresh [B,T,H,D] k/v — never reading
+    # the (mostly empty) [B,S,...] cache back (round-1 weak spot: engine
+    # prefill materialized full T x S f32 score tensors).
+    prefill_flash = (cache is not None and t >= 128
+                     and isinstance(cache_pos, int) and cache_pos == 0
+                     and (cfg.attn_impl == "flash"
+                          or (cfg.attn_impl == "auto"
+                              and jax.default_backend() != "cpu")))
+
     if cache is not None and "layer_idx" in cache:
         # stacked-cache decode: the FULL [L, B, S, H, D] buffers ride the
         # scan carry and only the new token's slice is written — routing
@@ -313,27 +323,44 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
                 ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
                 return (quant_linear(ctx, layer["o_proj"], cfg, train),
                         new_cache)
-            k, v = _kvc.cache_read_layer(layer_view, dtype=x.dtype)
+            if prefill_flash:
+                # attend the kv_bits-roundtripped fresh keys (same values
+                # decode will read back from the int8 cache)
+                k = (kc.astype(jnp.float32)
+                     * ksc.astype(jnp.float32)[..., None]
+                     ).transpose(0, 2, 1, 3).astype(x.dtype)
+                v = (vc.astype(jnp.float32)
+                     * vsc.astype(jnp.float32)[..., None]
+                     ).transpose(0, 2, 1, 3).astype(x.dtype)
+            else:
+                k, v = _kvc.cache_read_layer(layer_view, dtype=x.dtype)
         else:
             upd = lambda buf, val: jax.lax.dynamic_update_slice(
                 buf, val[None].astype(buf.dtype), (idx, 0, cache_pos, 0, 0))
             new_cache = {"k": upd(cache["k"], k), "v": upd(cache["v"], v),
                          "layer_idx": idx}
-            k = jax.lax.dynamic_index_in_dim(new_cache["k"], idx, 0,
-                                             keepdims=False).astype(x.dtype)
-            v = jax.lax.dynamic_index_in_dim(new_cache["v"], idx, 0,
-                                             keepdims=False).astype(x.dtype)
+            if not prefill_flash:
+                k = jax.lax.dynamic_index_in_dim(
+                    new_cache["k"], idx, 0, keepdims=False).astype(x.dtype)
+                v = jax.lax.dynamic_index_in_dim(
+                    new_cache["v"], idx, 0, keepdims=False).astype(x.dtype)
     elif cache is not None and "k_codes" in cache:
         # really-quantized int8 KV cache (serving path; see serving/kvcache.py)
         from mxq_tpu.serving import kvcache as _kvc
         new_cache = _kvc.cache_update_layer(cache, k, v, cache_pos)
-        k, v = _kvc.cache_read_layer(new_cache, dtype=x.dtype)
+        if prefill_flash:
+            k = _kvc.dequantize_kv(*_kvc.quantize_kv(k, d), d, x.dtype)
+            v = _kvc.dequantize_kv(*_kvc.quantize_kv(v, d), d, x.dtype)
+        else:
+            k, v = _kvc.cache_read_layer(new_cache, dtype=x.dtype)
     elif cache is not None:
-        k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
-                                         (0, cache_pos, 0, 0))
-        v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
-                                         (0, cache_pos, 0, 0))
-        new_cache = {"k": k, "v": v}
+        kf = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, cache_pos, 0, 0))
+        vf = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, cache_pos, 0, 0))
+        new_cache = {"k": kf, "v": vf}
+        if not prefill_flash:
+            k, v = kf, vf
     else:
         new_cache = None
 
@@ -343,7 +370,8 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
         v = jnp.repeat(v, rep, axis=2)
 
     use_flash = (cfg.attn_impl == "flash"
-                 or (cfg.attn_impl == "auto" and cache is None
+                 or (cfg.attn_impl == "auto"
+                     and (cache is None or prefill_flash)
                      and jax.default_backend() != "cpu" and t >= 128))
     if use_flash:
         # pallas flash attention (jax.experimental.pallas.ops.tpu):
