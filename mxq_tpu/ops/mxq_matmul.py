@@ -36,13 +36,14 @@ K4T = W4_ROWS * 8
 
 
 def _kernel(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
-            s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, n_kt):
+            s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, n_kt, kt_mult):
     _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
-                 s4_ref[:], z4_ref[:], out_ref, acc_ref, out_dtype=out_dtype)
+                 s4_ref[:], z4_ref[:], out_ref, acc_ref, out_dtype=out_dtype,
+                 kt_mult=kt_mult)
 
 
 def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
-                 s4, z4, out_ref, acc_ref, *, out_dtype):
+                 s4, z4, out_ref, acc_ref, *, out_dtype, kt_mult=1):
     """Slab-major dequant-matmul step.
 
     All sub-word unpacking is constant-shift + mask over full [rows, NL]
@@ -52,51 +53,54 @@ def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
     slab-major-permuted) — no concatenation, no bf16 staging of the
     dequantized weights. Measured fastest of all variants
     (tools/kernel_variants.py + /tmp probes: 24 us vs 28 us concat form on a
-    4096^2 B=8 GEMV)."""
+    4096^2 B=8 GEMV). ``kt_mult`` k-tiles are processed per grid step
+    (fewer, fatter pipeline stages: 25.3 -> ~23 us on the same GEMV,
+    tools/kernel_r2.py)."""
     kt = pl.program_id(2)
 
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # ---- group params (2-bit plane) ----
-    meta = meta_ref[:]                                 # [16, NL] int32
-    qs = qs_ref[:].astype(jnp.float32)                 # [16, NL]
-    qm = qm_ref[:].astype(jnp.float32)
-    s_parts, z_parts = [], []
-    for i in range(3):                                 # field i -> group 16i+r
-        zc_i = jax.lax.shift_right_logical(meta, 2 * i) & 0x3
-        sc_i = (jax.lax.shift_right_logical(meta, 6 + SCALE_CODE_BITS * i)
-                & ((1 << SCALE_CODE_BITS) - 1))
-        s_parts.append(qs * sc_i.astype(jnp.float32) + qm)
-        z_parts.append(zc_i)
-    s_eff = jnp.concatenate(s_parts, axis=0)           # [48, NL], row = group
-    zc = jnp.concatenate(z_parts, axis=0).astype(jnp.float32)
-    neg_sz = s_eff * zc
-
     dn = (((0,), (0,)), ((), ()))
-    w2 = w2_ref[:]                                     # [48, NL] int32
-    for j in range(16):
-        c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
-        w_j = s_eff * c_j.astype(jnp.float32) - neg_sz  # [48, NL] f32
-        xs = x2_ref[pl.ds(j * W2_ROWS, W2_ROWS), :]     # [48, B]
-        # accumulate through the ref: a value chain keeps every slab's
-        # [B, NL] f32 product live at once and blows scoped VMEM for
-        # prefill-sized B blocks
-        acc_ref[:] += jax.lax.dot_general(
-            xs.astype(jnp.float32), w_j, dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
-
-    # ---- 4-bit plane ----
     sz4 = s4 * z4                                      # [1, NL] f32
-    w4 = w4_ref[:]                                     # [32, NL] int32
-    for j in range(8):
-        c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
-        w_j = s4 * c_j.astype(jnp.float32) - sz4       # [32, NL]
-        xs = x4_ref[pl.ds(j * W4_ROWS, W4_ROWS), :]    # [32, B]
-        acc_ref[:] += jax.lax.dot_general(
-            xs.astype(jnp.float32), w_j, dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
+    for m in range(kt_mult):
+        # ---- group params (2-bit plane) ----
+        meta = meta_ref[pl.ds(m * NB_TILE, NB_TILE), :]   # [16, NL] int32
+        qs = qs_ref[pl.ds(m * NB_TILE, NB_TILE), :].astype(jnp.float32)
+        qm = qm_ref[pl.ds(m * NB_TILE, NB_TILE), :].astype(jnp.float32)
+        s_parts, z_parts = [], []
+        for i in range(3):                             # field i -> group 16i+r
+            zc_i = jax.lax.shift_right_logical(meta, 2 * i) & 0x3
+            sc_i = (jax.lax.shift_right_logical(meta, 6 + SCALE_CODE_BITS * i)
+                    & ((1 << SCALE_CODE_BITS) - 1))
+            s_parts.append(qs * sc_i.astype(jnp.float32) + qm)
+            z_parts.append(zc_i)
+        s_eff = jnp.concatenate(s_parts, axis=0)       # [48, NL], row = group
+        zc = jnp.concatenate(z_parts, axis=0).astype(jnp.float32)
+        neg_sz = s_eff * zc
+
+        w2 = w2_ref[pl.ds(m * W2_ROWS, W2_ROWS), :]    # [48, NL] int32
+        for j in range(16):
+            c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+            w_j = s_eff * c_j.astype(jnp.float32) - neg_sz  # [48, NL] f32
+            xs = x2_ref[pl.ds((m * 16 + j) * W2_ROWS, W2_ROWS), :]  # [48, B]
+            # accumulate through the ref: a value chain keeps every slab's
+            # [B, NL] f32 product live at once and blows scoped VMEM for
+            # prefill-sized B blocks
+            acc_ref[:] += jax.lax.dot_general(
+                xs.astype(jnp.float32), w_j, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        # ---- 4-bit plane ----
+        w4 = w4_ref[pl.ds(m * W4_ROWS, W4_ROWS), :]    # [32, NL] int32
+        for j in range(8):
+            c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+            w_j = s4 * c_j.astype(jnp.float32) - sz4   # [32, NL]
+            xs = x4_ref[pl.ds((m * 8 + j) * W4_ROWS, W4_ROWS), :]  # [32, B]
+            acc_ref[:] += jax.lax.dot_general(
+                xs.astype(jnp.float32), w_j, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
 
     @pl.when(kt == pl.num_programs(2) - 1)
     def _():
@@ -115,6 +119,13 @@ def permute_x4(x4: jax.Array, n_kt: int) -> jax.Array:
     return x4.reshape(b, n_kt, W4_ROWS, 8).swapaxes(-1, -2).reshape(b, -1)
 
 
+def _pick_kt_mult(n_kt: int) -> int:
+    """k-tiles per grid step: 2 when the k extent allows it (fewer, fatter
+    pipeline stages measured ~5-8% faster on the 4096^2 B=8 GEMV,
+    tools/kernel_r2.py), else 1."""
+    return 2 if n_kt % 2 == 0 else 1
+
+
 @functools.partial(jax.jit, static_argnames=("block_b", "block_n", "interpret",
                                              "out_dtype"))
 def _mxq_matmul_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
@@ -122,26 +133,28 @@ def _mxq_matmul_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
     b = x2.shape[1]
     nbp, n = meta2.shape
     n_kt = nbp // NB_TILE
-    grid = (b // block_b, n // block_n, n_kt)
+    km = _pick_kt_mult(n_kt)
+    grid = (b // block_b, n // block_n, n_kt // km)
 
-    kernel = functools.partial(_kernel, out_dtype=out_dtype, n_kt=n_kt)
+    kernel = functools.partial(_kernel, out_dtype=out_dtype, n_kt=n_kt,
+                               kt_mult=km)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((K2T, block_b), lambda bi, ni, ki: (ki, bi),
+            pl.BlockSpec((K2T * km, block_b), lambda bi, ni, ki: (ki, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K4T, block_b), lambda bi, ni, ki: (ki, bi),
+            pl.BlockSpec((K4T * km, block_b), lambda bi, ni, ki: (ki, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W2_ROWS, block_n), lambda bi, ni, ki: (ki, ni),
+            pl.BlockSpec((W2_ROWS * km, block_n), lambda bi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((W4_ROWS, block_n), lambda bi, ni, ki: (ki, ni),
+            pl.BlockSpec((W4_ROWS * km, block_n), lambda bi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NB_TILE, block_n), lambda bi, ni, ki: (ki, ni),
+            pl.BlockSpec((NB_TILE * km, block_n), lambda bi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NB_TILE, block_n), lambda bi, ni, ki: (ki, ni),
+            pl.BlockSpec((NB_TILE * km, block_n), lambda bi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NB_TILE, block_n), lambda bi, ni, ki: (ki, ni),
+            pl.BlockSpec((NB_TILE * km, block_n), lambda bi, ni, ki: (ki, ni),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n), lambda bi, ni, ki: (0, ni),
                          memory_space=pltpu.VMEM),
@@ -153,6 +166,8 @@ def _mxq_matmul_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (x2.shape[0] + x4.shape[0]) * n,
             bytes_accessed=(w2.size + w4.size + meta2.size) * 4
@@ -356,24 +371,27 @@ def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
                                out_dtype, n_kt):
     b = x2.shape[1]
     n = meta2.shape[1]
-    grid = (b // block_b, n // block_n, n_kt)
+    km = _pick_kt_mult(n_kt)
+    n_blk = n_kt // km
+    grid = (b // block_b, n // block_n, n_blk)
     kernel = functools.partial(_stacked_kernel, out_dtype=out_dtype,
-                               n_kt=n_kt)
+                               n_kt=n_kt, kt_mult=km)
 
     def wspec(rows):
-        # scalar-prefetch refs arrive AFTER the grid indices
+        # scalar-prefetch refs arrive AFTER the grid indices; block index is
+        # in units of (rows * km)-row blocks, n_blk per layer
         return pl.BlockSpec(
-            (rows, block_n),
-            lambda bi, ni, ki, s: (s[0] * n_kt + ki, ni),
+            (rows * km, block_n),
+            lambda bi, ni, ki, s: (s[0] * n_blk + ki, ni),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((K2T, block_b), lambda bi, ni, ki, s: (ki, bi),
+            pl.BlockSpec((K2T * km, block_b), lambda bi, ni, ki, s: (ki, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K4T, block_b), lambda bi, ni, ki, s: (ki, bi),
+            pl.BlockSpec((K4T * km, block_b), lambda bi, ni, ki, s: (ki, bi),
                          memory_space=pltpu.VMEM),
             wspec(W2_ROWS),
             wspec(W4_ROWS),
@@ -392,18 +410,20 @@ def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(jnp.asarray([idx], jnp.int32), x2, x4, w2, w4, meta2, qscale, qmin,
       smeta4)
 
 
 def _stacked_kernel(idx_ref, x2_ref, x4_ref, w2_ref, w4_ref, meta_ref,
                     qs_ref, qm_ref, sm_ref, out_ref, acc_ref, *, out_dtype,
-                    n_kt):
+                    n_kt, kt_mult):
     del idx_ref  # consumed by the index maps
     sm = sm_ref[:]                  # [8, NL]: row 0 = 4b scale, row 1 = zero
     _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
                  sm[0:1, :], sm[1:2, :], out_ref, acc_ref,
-                 out_dtype=out_dtype)
+                 out_dtype=out_dtype, kt_mult=kt_mult)
 
 
 def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
