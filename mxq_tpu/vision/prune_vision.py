@@ -68,6 +68,80 @@ def prune_vit(params: dict, cfg: vit.ViTConfig, images: jax.Array,
     return out
 
 
+def prune_convnext(params: dict, cfg, images: jax.Array,
+                   method: str = "wanda", sparsity: float = 0.5,
+                   n: int = 0, m: int = 0) -> dict:
+    """Stage-by-stage ConvNeXt pruning of the pointwise-conv linears —
+    prune_utils.prune_convnext (image_classifiers/prune_utils.py:164-230):
+    per stage, forward the UNPRUNED blocks once to collect each linear's
+    input activation stats (WrappedLayer scaler_row), then apply
+    Wanda/magnitude masks; the next stage calibrates on the unpruned
+    stage's outputs, exactly like the reference (it prunes after the hooked
+    forward and never re-forwards)."""
+    from mxq_tpu.vision import convnext
+
+    x = images
+    new_stages = []
+    for i, st in enumerate(params["stages"]):
+        x = convnext.downsample(x, st, cfg, i, params)
+        blocks = st["blocks"]
+        depth = blocks["pwconv1"].shape[0]
+        newb = {k: [] for k in blocks}
+        for j in range(depth):
+            p = {k: v[j] for k, v in blocks.items()}
+            # inputs feeding each prunable linear (unpruned weights)
+            h = convnext._dwconv(x, p["dwconv"], p["dwconv_b"])
+            a1 = convnext.layer_norm(h, p["ln"], p["ln_b"], cfg.eps)
+            a2 = jax.nn.gelu(a1 @ p["pwconv1"] + p["pwconv1_b"])
+            ins = {"pwconv1": a1, "pwconv2": a2}
+            x = convnext.block(x, p, cfg)          # unpruned propagation
+            for name in convnext.BLOCK_LINEARS:
+                w = p[name]
+                if method == "magnitude":
+                    keep = prune_lib.magnitude_mask(w, sparsity, n, m)
+                else:
+                    col_sq = jnp.sum(
+                        ins[name].reshape(-1, w.shape[0]).astype(jnp.float32)
+                        ** 2, axis=0)
+                    keep = prune_lib.wanda_mask(w, col_sq, sparsity, n, m)
+                p[name] = w * keep
+            for k in blocks:
+                newb[k].append(p[k])
+        new_stages.append({**st, "blocks": {k: jnp.stack(v)
+                                            for k, v in newb.items()}})
+    out = dict(params)
+    out["stages"] = new_stages
+    return out
+
+
+def check_sparsity_convnext(params: dict) -> float:
+    from mxq_tpu.vision import convnext
+    zeros = total = 0
+    for st in params["stages"]:
+        for name in convnext.BLOCK_LINEARS:
+            w = st["blocks"][name]
+            zeros += float(jnp.sum(w == 0))
+            total += w.size
+    return zeros / max(total, 1)
+
+
+def quantize_convnext(params: dict, cfg) -> dict:
+    """MXQ quant-dequant of the pointwise-conv linears (beyond-reference:
+    the reference's vision project only prunes)."""
+    from mxq_tpu.vision import convnext
+    out = dict(params)
+    out["stages"] = [
+        {**st, "blocks": {
+            **st["blocks"],
+            **{name: jax.vmap(
+                lambda w: scheme.mxq_fake_quant_ptq(w.T, cfg.scheme).T)(
+                    st["blocks"][name])
+               for name in convnext.BLOCK_LINEARS
+               if st["blocks"][name].shape[1] % 64 == 0}}}
+        for st in params["stages"]]
+    return out
+
+
 def quantize_vit(params: dict, cfg: vit.ViTConfig) -> dict:
     """MXQ quant-dequant of all block linears (beyond-reference: the
     reference's vision project only prunes)."""

@@ -44,3 +44,51 @@ def test_quantize_vit():
     wq = np.asarray(q["blocks"]["fc1"])
     assert not np.allclose(w0, wq)
     assert np.abs(w0 - wq).max() < 0.5
+
+
+class TestConvNeXt:
+    def _setup(self, **kw):
+        from mxq_tpu.vision import convnext
+        cfg = convnext.ConvNeXtConfig.tiny(**kw)
+        params = convnext.init_params(cfg, jax.random.PRNGKey(0))
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        return convnext, cfg, params, imgs
+
+    def test_forward(self):
+        convnext, cfg, params, imgs = self._setup()
+        logits = convnext.forward(params, imgs, cfg)
+        assert logits.shape == (2, 10)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_prune_wanda_sparsity(self):
+        convnext, cfg, params, imgs = self._setup()
+        pruned = prune_vision.prune_convnext(params, cfg, imgs, sparsity=0.5)
+        s = prune_vision.check_sparsity_convnext(pruned)
+        assert abs(s - 0.5) < 0.05, s
+        logits = convnext.forward(pruned, imgs, cfg)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_prune_wanda_differs_from_magnitude(self):
+        convnext, cfg, params, imgs = self._setup()
+        pw = prune_vision.prune_convnext(params, cfg, imgs, sparsity=0.5)
+        pm = prune_vision.prune_convnext(params, cfg, imgs,
+                                         method="magnitude", sparsity=0.5)
+        w1 = np.asarray(pw["stages"][0]["blocks"]["pwconv1"])
+        w2 = np.asarray(pm["stages"][0]["blocks"]["pwconv1"])
+        assert ((w1 == 0) != (w2 == 0)).mean() > 0.01
+
+    def test_prune_nm_structured(self):
+        convnext, cfg, params, imgs = self._setup()
+        pruned = prune_vision.prune_convnext(params, cfg, imgs,
+                                             method="magnitude", n=2, m=4)
+        w = np.asarray(pruned["stages"][1]["blocks"]["pwconv2"][0])
+        nz = (w.reshape(-1, 4, w.shape[-1]) != 0).sum(1)
+        assert (nz <= 2).all()
+
+    def test_quantize(self):
+        convnext, cfg, params, imgs = self._setup()
+        q = prune_vision.quantize_convnext(params, cfg)
+        ref = convnext.forward(params, imgs, cfg)
+        out = convnext.forward(q, imgs, cfg)
+        corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(out).ravel())[0, 1]
+        assert corr > 0.95, corr
