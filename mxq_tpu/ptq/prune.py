@@ -198,6 +198,115 @@ def sparsegpt_prune(w_io: jax.Array, h: jax.Array, sparsity: float = 0.5,
     return w.T.astype(w_io.dtype)
 
 
+def gptq_quantize_1b4b(w_io: jax.Array, h: jax.Array, sparsity: float = 0.5,
+                       blocksize: int = 128, percdamp: float = 0.01,
+                       n: int = 0, m: int = 0,
+                       split_sign: bool = False) -> jax.Array:
+    """GPTQ-style error-compensating mixed 1-bit/4-bit quantization — the
+    reference museum's quant-after-prune variants (sparsegpt.py:560-640 and
+    :720-800): per 128-column block, the LOW-saliency weights (OBS metric
+    w^2/diag(Hinv)^2, fraction ``sparsity`` or n-of-m) collapse to 1 bit
+    (sign * per-row mean |w|; ``split_sign`` uses separate positive/negative
+    means, the :761 variant), the rest quantize to 4-bit per-channel asym,
+    and every column's quantization error propagates into later columns
+    through the inverse-Cholesky rows (the part the active RTN path lacks).
+
+    ``w_io`` [in, out]; ``h`` [in, in] = X^T X from calibration. Returns the
+    quant-dequantized weight, same shape/dtype.
+    """
+    k = w_io.shape[0]
+    w = w_io.T.astype(jnp.float32)             # [out, in] like the reference
+    dead = jnp.diag(h) == 0
+    h = h.at[jnp.diag_indices(k)].add(jnp.where(dead, 1.0, 0.0))
+    w = jnp.where(dead[None, :], 0.0, w)
+    damp = percdamp * jnp.mean(jnp.diag(h))
+    h = h + damp * jnp.eye(k, dtype=h.dtype)
+    hinv = jnp.linalg.inv(h)
+    hc = jnp.linalg.cholesky(hinv, upper=True)  # sparsegpt.py:97-101
+
+    @jax.jit
+    def do_block(w1, hinv1):
+        cnt = w1.shape[1]
+        diag1 = jnp.diag(hinv1)
+        metric = w1 ** 2 / diag1[None, :] ** 2
+        if n > 0:
+            g = metric.reshape(w1.shape[0], cnt // m, m)
+            order = jnp.argsort(g, axis=2)
+            rank = jnp.argsort(order, axis=2)
+            mask1 = (rank < n).reshape(w1.shape[0], cnt)   # lowest n of m
+        else:
+            thresh = jnp.quantile(metric, sparsity)
+            mask1 = metric <= thresh
+        pos = mask1 & (w1 >= 0)
+        neg = mask1 & (w1 < 0)
+        if split_sign:                          # sparsegpt.py:748-758
+            avg_p = (jnp.sum(jnp.abs(w1) * pos, 1)
+                     / (jnp.sum(pos, 1) + 1e-9))
+            avg_n = (jnp.sum(jnp.abs(w1) * neg, 1)
+                     / (jnp.sum(neg, 1) + 1e-9))
+        else:                                   # sparsegpt.py:608-611
+            tot = jnp.sum(jnp.abs(w1) * mask1, 1)
+            avg_p = avg_n = tot / (jnp.sum(mask1, 1) + 1e-9)
+        # 4-bit per-channel asym params from the 1b-masked-out weights
+        # (zeros included, find_params on W1 * mask4b — sparsegpt.py:615-619)
+        w4 = w1 * (~mask1)
+        xmax = jnp.maximum(jnp.max(w4, axis=1), 0.0)
+        xmin = jnp.minimum(jnp.min(w4, axis=1), 0.0)
+        both_zero = (xmax == 0) & (xmin == 0)
+        xmax = jnp.where(both_zero, 1.0, xmax)
+        scale = (xmax - xmin) / 15.0
+        zero = jnp.round(-xmin / scale)
+
+        def q4(col):
+            q = jnp.clip(jnp.round(col / scale) + zero, 0.0, 15.0)
+            return scale * (q - zero)
+
+        def body(i, carry):
+            w1, q1 = carry
+            col = w1[:, i]
+            d = hinv1[i, i]
+            q = jnp.where(pos[:, i], avg_p,
+                          jnp.where(neg[:, i], -avg_n, q4(col)))
+            err = (col - q) / d
+            cols = jnp.arange(cnt)
+            upd = jnp.where((cols > i)[None, :],
+                            err[:, None] * hinv1[i][None, :], 0.0)
+            w1 = w1 - upd
+            q1 = q1.at[:, i].set(q)
+            return w1, q1
+
+        w1, q1 = jax.lax.fori_loop(0, cnt, body, (w1, jnp.zeros_like(w1)))
+        # total propagated error for the trailing columns: (W_in - Q) since
+        # Err1[:, i] = err_i and W[:, i2:] -= Err1 @ Hinv[i1:i2, i2:] with
+        # err reconstructed per column
+        return w1, q1
+
+    for i1 in range(0, k, blocksize):
+        i2 = min(i1 + blocksize, k)
+        w1_in = w[:, i1:i2]
+        hinv1 = hc[i1:i2, i1:i2]
+        w1_out, q1 = do_block(w1_in, hinv1)
+        # per-column err_i = (w1_during_sweep - q)/d; recover via the sweep's
+        # own final state: rerun is avoided by recomputing errs from q1 and
+        # the sweep's running weights — do_block returns w1 AFTER in-block
+        # propagation, so reconstruct errs column-by-column is unnecessary:
+        # Err1 = (W1_sweep - Q1)/diag, where W1_sweep[:, i] is w1 at step i.
+        # Equivalent closed form (sparsegpt.py:640): propagate with
+        # Err1 = solve from q1: W[:, i2:] -= Err1 @ Hinv[i1:i2, i2:].
+        # We recover Err1 by replaying the triangular relation:
+        #   W1_sweep = W1_in - Err1 @ triu(Hinv1, 1)  and
+        #   Err1[:, i] = (W1_sweep[:, i] - Q1[:, i]) / d_i
+        # which is a lower-triangular solve:
+        #   Err1 @ (diag + triu(Hinv1,1)) = W1_in - Q1   =>
+        #   Err1 = (W1_in - Q1) @ inv(Hinv1 upper-triangular)
+        err1 = jax.scipy.linalg.solve_triangular(
+            hinv1.T, (w1_in - q1).T, lower=True).T
+        w = w.at[:, i1:i2].set(q1)
+        if i2 < k:
+            w = w.at[:, i2:].add(-err1 @ hc[i1:i2, i2:])
+    return w.T.astype(w_io.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Layer-sequential prune driver (reuses calibrate's capture machinery)
 # ---------------------------------------------------------------------------

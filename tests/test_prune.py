@@ -161,3 +161,48 @@ def test_sparse_act_order_is_24_aware_permutation():
     sal = (np.asarray(w).T.astype(np.float64) ** 2
            / np.diag(hinv_chol)[None, :] ** 2).sum(axis=0)
     assert (np.diff(sal[undone]) <= 1e-6).all()
+
+
+class TestGPTQQuantize:
+    def _wh(self, seed=0, k=256, o=128, nsamp=512):
+        rng = np.random.RandomState(seed)
+        # correlated inputs -> off-diagonal H, where compensation matters
+        base = rng.randn(nsamp, k // 4)
+        x = np.repeat(base, 4, axis=1) + 0.3 * rng.randn(nsamp, k)
+        w = rng.randn(k, o).astype(np.float32)
+        h = jnp.asarray((x.T @ x).astype(np.float32))
+        return jnp.asarray(w), h, jnp.asarray(x.astype(np.float32))
+
+    def test_compensation_beats_no_compensation(self):
+        w, h, x = self._wh()
+        q_comp = prune.gptq_quantize_1b4b(w, h, sparsity=0.5)
+
+        # same quantization grid per column, but no error propagation:
+        # emulate by zero Hessian coupling (identity H)
+        q_rtn = prune.gptq_quantize_1b4b(
+            w, jnp.eye(w.shape[0]) * jnp.mean(jnp.diag(h)), sparsity=0.5)
+
+        def layer_err(q):
+            d = np.asarray(x @ (w - q))
+            return float((d ** 2).mean())
+
+        assert layer_err(q_comp) < layer_err(q_rtn) * 0.9, \
+            (layer_err(q_comp), layer_err(q_rtn))
+
+    def test_nm_onebit_structure(self):
+        w, h, _ = self._wh(seed=1)
+        q = prune.gptq_quantize_1b4b(w, h, n=2, m=4)
+        assert q.shape == w.shape
+        assert np.all(np.isfinite(np.asarray(q)))
+        # 1-bit values per row collapse to few distinct magnitudes: each
+        # row's value set is far smaller than k
+        row = np.asarray(q).T[0]
+        assert len(np.unique(np.round(row, 5))) < w.shape[0] // 2
+
+    def test_split_sign_variant_runs(self):
+        w, h, x = self._wh(seed=2)
+        q1 = prune.gptq_quantize_1b4b(w, h, sparsity=0.5, split_sign=False)
+        q2 = prune.gptq_quantize_1b4b(w, h, sparsity=0.5, split_sign=True)
+        assert np.any(np.asarray(q1) != np.asarray(q2))
+        for q in (q1, q2):
+            assert np.all(np.isfinite(np.asarray(q)))
