@@ -33,11 +33,10 @@ def _block_inputs(x, p, cfg: vit.ViTConfig):
 def prune_vit(params: dict, cfg: vit.ViTConfig, images: jax.Array,
               method: str = "wanda", sparsity: float = 0.5,
               n: int = 0, m: int = 0) -> dict:
-    """Sequential block-by-block pruning with one calibration batch."""
-    x = vit.patchify(images, cfg.patch_size) @ params["patch_embed"]
-    b = x.shape[0]
-    cls = jnp.broadcast_to(params["cls_token"], (b, 1, x.shape[-1]))
-    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    """Sequential block-by-block pruning with one calibration batch (also
+    covers DeiT: cfg.distilled adds the dist token, prune flow identical —
+    the reference routes deit through prune_vit too, main.py:330-332)."""
+    x = vit.embed(params, images, cfg)
 
     @jax.jit
     def prune_block(x, p):

@@ -28,6 +28,8 @@ class ViTConfig:
     mlp_dim: int = 3072
     num_classes: int = 1000
     w_bits: int = 32
+    distilled: bool = False     # DeiT (models/deit.py:20-56): dist token +
+                                # second head, eval = mean of both heads
     scheme: MXQConfig = dataclasses.field(default_factory=MXQConfig)
 
     @property
@@ -61,10 +63,11 @@ def init_params(cfg: ViTConfig, key: jax.Array, dtype=jnp.float32) -> dict:
         "ln1": jnp.ones((l, h), dtype), "ln1_b": jnp.zeros((l, h), dtype),
         "ln2": jnp.ones((l, h), dtype), "ln2_b": jnp.zeros((l, h), dtype),
     }
-    return {
+    n_tok = cfg.num_patches + 1 + int(cfg.distilled)
+    params = {
         "patch_embed": (jax.random.normal(ks[4], (patch_dim, h))
                         / np.sqrt(patch_dim)).astype(dtype),
-        "pos_embed": (jax.random.normal(ks[5], (1, cfg.num_patches + 1, h))
+        "pos_embed": (jax.random.normal(ks[5], (1, n_tok, h))
                       * 0.02).astype(dtype),
         "cls_token": jnp.zeros((1, 1, h), dtype),
         "blocks": blocks,
@@ -72,6 +75,11 @@ def init_params(cfg: ViTConfig, key: jax.Array, dtype=jnp.float32) -> dict:
         "head": (jax.random.normal(ks[6], (h, cfg.num_classes)) * 0.02
                  ).astype(dtype),
     }
+    if cfg.distilled:
+        params["dist_token"] = jnp.zeros((1, 1, h), dtype)
+        params["head_dist"] = (jax.random.normal(ks[7], (h, cfg.num_classes))
+                               * 0.02).astype(dtype)
+    return params
 
 
 def layer_norm(x, w, b, eps=1e-6):
@@ -110,16 +118,29 @@ def patchify(images: jax.Array, patch: int) -> jax.Array:
         b, (hh // patch) * (ww // patch), patch * patch * c)
 
 
-def forward(params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
-    """[B, H, W, 3] -> logits [B, num_classes]."""
+def embed(params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """Patch embedding + special tokens + positions: the encoder input."""
     x = patchify(images, cfg.patch_size) @ params["patch_embed"]
     b = x.shape[0]
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, x.shape[-1]))
-    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    toks = [cls]
+    if cfg.distilled:
+        toks.append(jnp.broadcast_to(params["dist_token"],
+                                     (b, 1, x.shape[-1])))
+    return jnp.concatenate(toks + [x], axis=1) + params["pos_embed"]
+
+
+def forward(params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """[B, H, W, 3] -> logits [B, num_classes]. DeiT mode (distilled):
+    cls + dist tokens prepended, eval output = mean of the two heads
+    (deit.py:51-56 inference branch)."""
+    x = embed(params, images, cfg)
 
     def body(x, p):
         return block(x, p, cfg), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = layer_norm(x, params["ln_f"], params["ln_f_b"])
+    if cfg.distilled:
+        return (x[:, 0] @ params["head"] + x[:, 1] @ params["head_dist"]) / 2
     return x[:, 0] @ params["head"]

@@ -92,3 +92,49 @@ class TestConvNeXt:
         out = convnext.forward(q, imgs, cfg)
         corr = np.corrcoef(np.asarray(ref).ravel(), np.asarray(out).ravel())[0, 1]
         assert corr > 0.95, corr
+
+
+class TestDeiTAndMixer:
+    def test_deit_forward_and_prune(self):
+        cfg = vit.ViTConfig.tiny(distilled=True)
+        params = vit.init_params(cfg, jax.random.PRNGKey(0))
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        logits = vit.forward(params, imgs, cfg)
+        assert logits.shape == (2, 10)
+        pruned = prune_vision.prune_vit(params, cfg, imgs, sparsity=0.5)
+        s = prune_vision.check_sparsity(pruned)
+        assert abs(s - 0.5) < 0.05, s
+        out = vit.forward(pruned, imgs, cfg)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_deit_heads_both_contribute(self):
+        cfg = vit.ViTConfig.tiny(distilled=True)
+        params = vit.init_params(cfg, jax.random.PRNGKey(0))
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        ref = vit.forward(params, imgs, cfg)
+        p2 = dict(params)
+        p2["head_dist"] = params["head_dist"] * 0.0
+        out = vit.forward(p2, imgs, cfg)
+        assert np.abs(np.asarray(ref) - np.asarray(out)).max() > 1e-6
+
+    def test_mixer_forward(self):
+        from mxq_tpu.vision import mixer
+        cfg = mixer.MixerConfig.tiny()
+        params = mixer.init_params(cfg, jax.random.PRNGKey(0))
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        logits = mixer.forward(params, imgs, cfg)
+        assert logits.shape == (2, 10)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_mixer_quantized_close(self):
+        from mxq_tpu.vision import mixer
+        cfg = mixer.MixerConfig.tiny()
+        qcfg = mixer.MixerConfig.tiny(w_bits=2)
+        params = mixer.init_params(cfg, jax.random.PRNGKey(0))
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        ref = mixer.forward(params, imgs, cfg)
+        out = mixer.forward(params, imgs, qcfg)
+        corr = np.corrcoef(np.asarray(ref).ravel(),
+                           np.asarray(out).ravel())[0, 1]
+        assert corr > 0.8, corr
+        assert np.abs(np.asarray(ref) - np.asarray(out)).max() > 1e-6
