@@ -152,6 +152,14 @@ def paged_decode_step(params, k_pages, v_pages, tokens, positions, lengths,
     token); page_ids/offsets [B] (precomputed from positions on host).
     Returns (next_token_logits [B, V], k_pages, v_pages).
     """
+    logits, k_pages, v_pages = _paged_decode_one(
+        params, k_pages, v_pages, tokens, positions, lengths, page_tables,
+        page_ids, offsets, cfg)
+    return logits, k_pages, v_pages
+
+
+def _paged_decode_one(params, k_pages, v_pages, tokens, positions, lengths,
+                      page_tables, page_ids, offsets, cfg: llama.LlamaConfig):
     b = tokens.shape[0]
     x = params["embed_tokens"][tokens]                  # [B, 1, H]
     cos, sin = llama.rope_tables(cfg, positions[:, None].astype(jnp.float32))
@@ -206,6 +214,41 @@ def paged_decode_step(params, k_pages, v_pages, tokens, positions, lengths,
     return logits[:, 0].astype(jnp.float32), k_pages, v_pages
 
 
+@partial(jax.jit, static_argnames=("cfg", "horizon"), donate_argnums=(1, 2))
+def paged_decode_chunk(params, k_pages, v_pages, chained, host_toks,
+                       use_chain, positions, active, page_tables,
+                       cfg: llama.LlamaConfig, horizon: int):
+    """``horizon`` greedy decode steps against the paged pool in one
+    dispatch (the paged analogue of Engine._decode_chunk_impl): page ids and
+    offsets for each substep are computed IN-GRAPH from the advancing
+    positions and the device-resident page table, so the host neither
+    precomputes them nor fetches between steps. Input tokens chain from the
+    previous chunk's on-device output (``chained``) except where
+    ``use_chain`` is False (freshly admitted slots). The caller must have
+    pre-allocated pages covering positions + horizon."""
+    b = chained.shape[0]
+    ps = k_pages.shape[3]
+    rows = jnp.arange(b)
+    toks = jnp.where(use_chain, chained, host_toks)[:, None]
+
+    def sub(carry, i):
+        toks, k_pages, v_pages = carry
+        pos = positions + i
+        lengths = pos + 1
+        page_ids = page_tables[rows, pos // ps]
+        offsets = pos % ps
+        logits, k_pages, v_pages = _paged_decode_one(
+            params, k_pages, v_pages, toks, pos, lengths, page_tables,
+            page_ids, offsets, cfg)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(active, nxt, 0)
+        return (nxt[:, None], k_pages, v_pages), nxt
+
+    (_, k_pages, v_pages), all_toks = jax.lax.scan(
+        sub, (toks, k_pages, v_pages), jnp.arange(horizon, dtype=jnp.int32))
+    return all_toks, k_pages, v_pages
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
 def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages,
                   cfg: llama.LlamaConfig):
@@ -236,20 +279,31 @@ def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages,
 
 class PagedEngine:
     """Continuous batching over the paged pool (same host protocol as
-    engine.Engine, vLLM-style memory management)."""
+    engine.Engine, vLLM-style memory management), with the same pipelined
+    multi-step dispatch: chunk k+1 launches before chunk k's tokens are
+    fetched, tokens chain on-device, and pages for the whole chunk are
+    pre-allocated at dispatch. A sequence within ``horizon`` tokens of its
+    per-slot page capacity is retired at dispatch time (up to horizon-1
+    tokens earlier than the strict cap)."""
 
     def __init__(self, params, cfg: llama.LlamaConfig, num_slots: int = 8,
                  total_pages: int = 512, page_size: int = 64,
-                 max_len: int = 2048, prefill_bucket: int = 128):
+                 max_len: int = 2048, prefill_bucket: int = 128,
+                 horizon: int = 8):
         self.params = params
         self.cfg = cfg
         self.pool = PagedPool.create(cfg, num_slots, total_pages, page_size,
                                      max_len)
         self.num_slots = num_slots
         self.prefill_bucket = prefill_bucket
+        self.horizon = horizon
         self.slot_req = [None] * num_slots
         self.queue: list = []
         self._uid = 0
+        self._count = np.zeros(num_slots, np.int64)    # tokens incl. prefill
+        self._last_tok = np.zeros(num_slots, np.int32)
+        self._admit_gen = np.zeros(num_slots, np.int64)
+        self._inflight = None
 
     def submit(self, prompt, max_new_tokens=64, eos_token_id=None):
         from mxq_tpu.serving.engine import Request
@@ -259,7 +313,7 @@ class PagedEngine:
         self.queue.append(req)
         return req
 
-    def _admit(self):
+    def _admit(self, finished: list) -> None:
         ps = self.pool.page_size
         for slot in range(self.num_slots):
             if self.slot_req[slot] is not None or not self.queue:
@@ -274,58 +328,120 @@ class PagedEngine:
             bucket = min(max(self.prefill_bucket, -(-t // ps) * ps), cap)
             self.pool.ensure_capacity(slot, bucket)
             npages = bucket // ps
-            slot_pages = jnp.asarray(self.pool.page_tables[slot][:npages])
+            slot_pages = jnp.array(self.pool.page_tables[slot][:npages])
             ids = np.zeros((1, bucket), np.int32)
             ids[0, :t] = tail
             first, self.pool.k_pages, self.pool.v_pages = paged_prefill(
                 self.params, self.pool.k_pages, self.pool.v_pages,
                 jnp.asarray(ids), t, slot_pages, self.cfg)
-            req.generated = [int(first)]
+            first = int(first)          # blocks: serialized after in-flight
+            req.generated = [first]
             self.slot_req[slot] = req
             self.pool.lengths[slot] = t
+            self._count[slot] = 1
+            self._last_tok[slot] = first
+            self._admit_gen[slot] += 1
+            if req.max_new_tokens <= 1:
+                req.done = True
+                finished.append(req)
+                self.pool.release(slot)
+                self.slot_req[slot] = None
 
-    def step(self):
-        self._admit()
-        active = [s for s, r in enumerate(self.slot_req) if r is not None]
-        if not active:
-            return []
+    def _dispatch(self, horizon: int):
         ps = self.pool.page_size
+        cap = self.pool.page_tables.shape[1] * ps
+        # sequences without room for a whole chunk sit this dispatch out;
+        # _process_inflight retires them once their in-flight tokens are
+        # consumed (they end up to horizon-1 tokens short of the strict cap)
+        active = np.array([
+            r is not None and self.pool.lengths[s] + horizon <= cap
+            for s, r in enumerate(self.slot_req)])
+        if not active.any():
+            return None
+        for s in np.where(active)[0]:
+            self.pool.ensure_capacity(s, int(self.pool.lengths[s]) + horizon)
         b = self.num_slots
-        tokens = np.zeros((b, 1), np.int32)
-        positions = np.zeros(b, np.int32)
-        for s in active:
-            tokens[s, 0] = self.slot_req[s].generated[-1]
-            positions[s] = self.pool.lengths[s]
-            self.pool.ensure_capacity(s, int(positions[s]) + 1)
-        page_ids = self.pool.page_tables[np.arange(b), positions // ps]
-        offsets = positions % ps
-        lengths_after = positions + 1
+        if self._inflight is not None:
+            fl = self._inflight
+            chained = fl["toks"][-1]
+            use_chain = (fl["active"] & active
+                         & (fl["gen"] == self._admit_gen))
+        else:
+            chained = jnp.zeros((b,), jnp.int32)
+            use_chain = np.zeros(b, bool)
+        positions = self.pool.lengths.astype(np.int32)
+        toks, self.pool.k_pages, self.pool.v_pages = paged_decode_chunk(
+            self.params, self.pool.k_pages, self.pool.v_pages, chained,
+            jnp.array(self._last_tok), jnp.array(use_chain),
+            jnp.array(positions), jnp.array(active),
+            jnp.array(self.pool.page_tables), self.cfg, horizon)
+        snap = dict(toks=toks, active=active, gen=self._admit_gen.copy(),
+                    reqs=list(self.slot_req), horizon=horizon)
+        for s in np.where(active)[0]:
+            self.pool.lengths[s] += horizon
+        return snap
 
-        logits, self.pool.k_pages, self.pool.v_pages = paged_decode_step(
-            self.params, self.pool.k_pages, self.pool.v_pages,
-            jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray(lengths_after), jnp.asarray(self.pool.page_tables),
-            jnp.asarray(page_ids), jnp.asarray(offsets), self.cfg)
-        nxt = np.asarray(jnp.argmax(logits, axis=-1))
-
+    def _process_inflight(self) -> list:
+        fl = self._inflight
+        self._inflight = None
+        toks = np.asarray(fl["toks"])
         finished = []
-        for s in active:
-            r = self.slot_req[s]
-            r.generated.append(int(nxt[s]))
-            self.pool.lengths[s] += 1
-            hit_eos = (r.eos_token_id is not None
-                       and r.generated[-1] == r.eos_token_id)
-            at_cap = (self.pool.lengths[s]
-                      >= self.pool.page_tables.shape[1] * ps)
-            if len(r.generated) > r.max_new_tokens or hit_eos or at_cap:
+        retired = set()
+        for i in range(fl["horizon"]):
+            for s in np.where(fl["active"])[0]:
+                r = fl["reqs"][s]
+                if s in retired or r is None or self.slot_req[s] is not r:
+                    continue
+                tok = int(toks[i, s])
+                r.generated.append(tok)
+                self._count[s] += 1
+                self._last_tok[s] = tok
+                hit_eos = (r.eos_token_id is not None
+                           and tok == r.eos_token_id)
+                if self._count[s] >= r.max_new_tokens or hit_eos:
+                    r.done = True
+                    finished.append(r)
+                    self.pool.release(s)
+                    self.slot_req[s] = None
+                    retired.add(s)
+        self._retire_at_cap(finished, fl["horizon"])
+        self._admit(finished)
+        return finished
+
+    def _retire_at_cap(self, finished: list, horizon: int) -> None:
+        """Retire sequences that can no longer fit a whole chunk."""
+        cap = self.pool.page_tables.shape[1] * self.pool.page_size
+        for s, r in enumerate(self.slot_req):
+            if r is not None and self.pool.lengths[s] + horizon > cap:
                 r.done = True
                 finished.append(r)
                 self.pool.release(s)
                 self.slot_req[s] = None
+
+    def step(self):
+        finished = []
+        if self._inflight is not None:
+            finished.extend(self._process_inflight())
+        self._admit(finished)
+        fl = self._dispatch(1)
+        if fl is not None:
+            self._inflight = fl
+            finished.extend(self._process_inflight())
+        else:
+            self._retire_at_cap(finished, 1)
         return finished
 
     def run(self):
         done = []
-        while self.queue or any(r is not None for r in self.slot_req):
-            done.extend(self.step())
+        h = max(1, self.horizon)
+        self._admit(done)
+        while (self._inflight is not None
+               or any(r is not None for r in self.slot_req) or self.queue):
+            nxt = self._dispatch(h)
+            if self._inflight is not None:
+                done.extend(self._process_inflight())
+            elif nxt is None:
+                self._retire_at_cap(done, h)
+                self._admit(done)
+            self._inflight = nxt
         return done
