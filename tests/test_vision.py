@@ -138,3 +138,54 @@ class TestDeiTAndMixer:
                            np.asarray(out).ravel())[0, 1]
         assert corr > 0.8, corr
         assert np.abs(np.asarray(ref) - np.asarray(out)).max() > 1e-6
+
+
+class TestSwin:
+    def test_forward(self):
+        from mxq_tpu.vision import swin
+        cfg = swin.SwinConfig.tiny()
+        params = swin.init_params(cfg, jax.random.PRNGKey(0))
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        logits = swin.forward(params, imgs, cfg)
+        assert logits.shape == (2, 10)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_shifted_windows_change_output(self):
+        """SW-MSA must couple neighboring windows: zeroing the shift path
+        (making all blocks W-MSA) changes the logits."""
+        from mxq_tpu.vision import swin
+        cfg = swin.SwinConfig.tiny(depths=(2,), num_heads=(2,), image_size=32,
+                                   window_size=4)
+        params = swin.init_params(cfg, jax.random.PRNGKey(0))
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        ref = swin.forward(params, imgs, cfg)
+        # monkeypatched forward with shift forced to 0
+        import mxq_tpu.vision.swin as sw
+        orig = sw.block
+        try:
+            sw.block = lambda x, p, c, res, nh, shift, ri, mask: orig(
+                x, p, c, res, nh, 0, ri, None)
+            out = sw.forward(params, imgs, cfg)
+        finally:
+            sw.block = orig
+        assert np.abs(np.asarray(ref) - np.asarray(out)).max() > 1e-6
+
+    def test_window_partition_roundtrip(self):
+        from mxq_tpu.vision import swin
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+        w = swin.window_partition(x, 4)
+        back = swin.window_reverse(w, 4, 8, 8)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+    def test_quantized_close(self):
+        from mxq_tpu.vision import swin
+        cfg = swin.SwinConfig.tiny(embed_dim=64)
+        qcfg = swin.SwinConfig.tiny(embed_dim=64, w_bits=2)
+        params = swin.init_params(cfg, jax.random.PRNGKey(0))
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        ref = swin.forward(params, imgs, cfg)
+        out = swin.forward(params, imgs, qcfg)
+        corr = np.corrcoef(np.asarray(ref).ravel(),
+                           np.asarray(out).ravel())[0, 1]
+        assert corr > 0.8, corr
+        assert np.abs(np.asarray(ref) - np.asarray(out)).max() > 1e-6
