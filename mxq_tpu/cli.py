@@ -169,6 +169,59 @@ def cmd_generate_data(args):
         print(f"merged {n} sequences")
 
 
+def cmd_prune_vision(args):
+    """Vision prune+eval flow — image_classifiers/main.py:317-341: build
+    model, one calibration batch, prune, report accuracy before/after.
+    Without ImageNet access the tiny presets run on the synthetic
+    class-conditional dataset (vision/eval.py)."""
+    import jax
+    from mxq_tpu.vision import convnext, eval as veval, mixer, prune_vision
+    from mxq_tpu.vision import swin, vit
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.model in ("vit", "deit"):
+        cfg = vit.ViTConfig.tiny(distilled=(args.model == "deit"))
+        params = vit.init_params(cfg, key)
+        fwd = vit.forward
+        prune = lambda p, imgs: prune_vision.prune_vit(
+            p, cfg, imgs, method=args.prune_metric, sparsity=args.sparsity,
+            n=args.prune_n, m=args.prune_m)
+        sparsity_of = prune_vision.check_sparsity
+    elif args.model == "convnext":
+        cfg = convnext.ConvNeXtConfig.tiny()
+        params = convnext.init_params(cfg, key)
+        fwd = convnext.forward
+        prune = lambda p, imgs: prune_vision.prune_convnext(
+            p, cfg, imgs, method=args.prune_metric, sparsity=args.sparsity,
+            n=args.prune_n, m=args.prune_m)
+        sparsity_of = prune_vision.check_sparsity_convnext
+    elif args.model == "mixer":
+        cfg = mixer.MixerConfig.tiny()
+        params = mixer.init_params(cfg, key)
+        fwd = mixer.forward
+        prune = sparsity_of = None          # reference prunes convnext/vit only
+    else:
+        cfg = swin.SwinConfig.tiny()
+        params = swin.init_params(cfg, key)
+        fwd = swin.forward
+        prune = sparsity_of = None
+
+    img_size = getattr(cfg, "image_size", 32)
+    batches = list(veval.synthetic_batches(cfg.num_classes, img_size,
+                                           n=args.nsamples * 2))
+    stats = veval.evaluate(fwd, params, cfg, batches)
+    print(f"dense: acc1={stats['acc1']:.4f} acc5={stats['acc5']:.4f} "
+          f"n={stats['n']}")
+    if prune is None:
+        print(f"{args.model}: eval-only (reference prunes convnext/vit/deit)")
+        return
+    calib = batches[0][0]
+    pruned = prune(params, jax.numpy.asarray(calib))
+    print(f"actual sparsity {sparsity_of(pruned):.4f}")
+    stats = veval.evaluate(fwd, pruned, cfg, batches)
+    print(f"pruned: acc1={stats['acc1']:.4f} acc5={stats['acc5']:.4f}")
+
+
 def cmd_serve(args):
     from mxq_tpu.serving import engine as eng
     from mxq_tpu.models import llama
@@ -263,6 +316,18 @@ def main(argv=None):
     p.add_argument("--out_dir", default="out/gen_data")
     p.add_argument("--merge", action="store_true")
     p.set_defaults(fn=cmd_generate_data)
+
+    p = sub.add_parser("prune-vision")
+    p.add_argument("--model", default="vit",
+                   choices=("vit", "deit", "convnext", "mixer", "swin"))
+    p.add_argument("--prune_metric", default="wanda",
+                   choices=("wanda", "magnitude"))
+    p.add_argument("--sparsity", type=float, default=0.5)
+    p.add_argument("--nsamples", type=int, default=16)
+    p.add_argument("--prune_n", type=int, default=0)
+    p.add_argument("--prune_m", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_prune_vision)
 
     p = sub.add_parser("serve")
     _add_model_args(p)

@@ -189,3 +189,13 @@ class TestSwin:
                            np.asarray(out).ravel())[0, 1]
         assert corr > 0.8, corr
         assert np.abs(np.asarray(ref) - np.asarray(out)).max() > 1e-6
+
+
+def test_vision_eval_topk():
+    from mxq_tpu.vision import eval as veval
+    cfg = vit.ViTConfig.tiny()
+    params = vit.init_params(cfg, jax.random.PRNGKey(0))
+    batches = list(veval.synthetic_batches(cfg.num_classes, 32, n=32))
+    stats = veval.evaluate(vit.forward, params, cfg, batches)
+    assert stats["n"] == 32
+    assert 0.0 <= stats["acc1"] <= stats["acc5"] <= 1.0
