@@ -345,8 +345,14 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
     dense_stacks = {k: v for k, v in layer_params.items()
                     if k not in packed_names}
 
-    def body(x, inputs):
-        idx, dense_sl, cache = inputs
+    def body(carry, inputs):
+        # the FULL [L, ...] cache rides the scan CARRY with per-layer indexed
+        # writes — routing it through scan xs/ys copies the entire cache
+        # every layer (round-1 device trace: ~3.3 ms/step at S=256; engine
+        # r2 measured ~8 ms/step of unexplained time at S=512 from the same
+        # pattern before this change)
+        x, cache = carry
+        idx, dense_sl = inputs
         layer = dict(dense_sl)
         for nm in packed_names:
             layer[nm] = llama.StackedPackedRef(layer_params[nm], idx)
@@ -366,42 +372,48 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
         q, k = llama.apply_rope(q, k, cos, sin)
 
         if quant:
-            # head-major int8 cache: codes [B, H, S, D], scales [B, H, S].
-            # Each slot's one new token lands at its OWN position via an
-            # indexed scatter (writes B rows, not a one-hot cache rewrite).
+            # head-major int8 cache: codes [L, B, H, S, D], scales
+            # [L, B, H, S]. Each slot's one new token lands at its OWN
+            # position in the CURRENT layer via an indexed scatter (writes
+            # B rows of the full stacked buffer, no cache copies).
             kc, ks = kvcache.quantize_kv_headmajor(k)   # [B,H,1,D], [B,H,1]
             vc, vs = kvcache.quantize_kv_headmajor(v)
             rows = jnp.arange(b_)
 
-            def scat_c(buf, val):
-                return buf.at[rows, :, positions].set(
-                    val[:, :, 0].astype(buf.dtype))
-
-            def scat_s(buf, val):
-                return buf.at[rows, :, positions].set(
+            def scat(buf, val):
+                # buf [L, B, H, S, ...]; advanced indices (idx, rows,
+                # positions) with the H slice between put updates at
+                # (idx, rows[b], :, positions[b])
+                return buf.at[idx, rows, :, positions].set(
                     val[:, :, 0].astype(buf.dtype))
 
             cache = {
-                "k_codes": scat_c(cache["k_codes"], kc),
-                "k_scale": scat_s(cache["k_scale"], ks),
-                "v_codes": scat_c(cache["v_codes"], vc),
-                "v_scale": scat_s(cache["v_scale"], vs),
+                "k_codes": scat(cache["k_codes"], kc),
+                "k_scale": scat(cache["k_scale"], ks),
+                "v_codes": scat(cache["v_codes"], vc),
+                "v_scale": scat(cache["v_scale"], vs),
             }
+            layer_view = {kk: jax.lax.dynamic_index_in_dim(
+                cache[kk], idx, 0, keepdims=False)
+                for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
             # fused decode attention straight off the int8 codes
             from mxq_tpu.ops import attn_int8 as _a8
             ctx = _a8.int8_decode_attention(
-                q[:, 0], cache["k_codes"], cache["k_scale"],
-                cache["v_codes"], cache["v_scale"], positions)
+                q[:, 0], layer_view["k_codes"], layer_view["k_scale"],
+                layer_view["v_codes"], layer_view["v_scale"], positions)
             ctx = ctx.reshape(b_, t, nh * d).astype(x.dtype)
         else:
             def scatter(buf, val):
-                # buf [B, S, H, D], val [B, 1, H, D]
-                return buf.at[jnp.arange(buf.shape[0]), positions].set(
+                # buf [L, B, S, H, D], val [B, 1, H, D]
+                return buf.at[idx, jnp.arange(b_), positions].set(
                     val[:, 0].astype(buf.dtype))
 
             cache = {"k": scatter(cache["k"], k),
                      "v": scatter(cache["v"], v)}
-            kk, vv = cache["k"], cache["v"]
+            kk = jax.lax.dynamic_index_in_dim(cache["k"], idx, 0,
+                                              keepdims=False)
+            vv = jax.lax.dynamic_index_in_dim(cache["v"], idx, 0,
+                                              keepdims=False)
             if nkv != nh:
                 rep = nh // nkv
                 kk = jnp.repeat(kk, rep, axis=2)
@@ -418,11 +430,11 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
         h2 = llama.rms_norm(x, layer["post_attention_layernorm"],
                             cfg.rms_norm_eps)
         x = x + llama.mlp(h2, layer, cfg)
-        return x, cache
+        return (x, cache), None
 
     nl = cfg.num_hidden_layers
-    x, new_caches = jax.lax.scan(
-        body, x, (jnp.arange(nl, dtype=jnp.int32), dense_stacks, caches))
+    (x, new_caches), _ = jax.lax.scan(
+        body, (x, caches), (jnp.arange(nl, dtype=jnp.int32), dense_stacks))
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
     logits = (x @ head) if head is not None else (x @ params["embed_tokens"].T)
