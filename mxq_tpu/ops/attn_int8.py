@@ -38,33 +38,45 @@ NEG = float(np.finfo(np.float32).min)
 
 def _kernel(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref, *,
             scale):
+    """One (batch, head-block) step: HB heads attend via batched MXU dots
+    (batch dim = heads), so the grid has B * H/HB fat steps instead of
+    B * H tiny ones."""
     b = pl.program_id(0)
     pos = pos_ref[b]
 
-    q = q_ref[0, 0]                                    # [G8, D] bf16
-    kc = kc_ref[0, 0]                                  # [S, D]  int8
-    ks = ks_ref[0, 0]                                  # [1, S]  bf16
+    q = q_ref[0]                                       # [HB, G8, D] bf16
+    kc = kc_ref[0]                                     # [HB, S, D]  int8
+    ks = ks_ref[0]                                     # [HB, 1, S]  bf16
 
-    # flash-style dims: contract D of both operands (q [G8,D] x k [S,D])
     st = jax.lax.dot_general(
-        q, kc, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [G8, S]
+        q, kc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [HB, G8, S]
     st = st * (ks.astype(jnp.float32) * scale)
 
-    kpos = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, st.shape, 2)
     st = jnp.where(kpos <= pos, st, NEG)
 
-    m = jnp.max(st, axis=1, keepdims=True)
+    m = jnp.max(st, axis=2, keepdims=True)
     p = jnp.exp(st - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
+    denom = jnp.sum(p, axis=2, keepdims=True)
 
-    vs = vs_ref[0, 0]                                  # [1, S]
+    vs = vs_ref[0]                                     # [HB, 1, S]
     pv = (p * vs.astype(jnp.float32)).astype(jnp.bfloat16)
-    vc = vc_ref[0, 0]                                  # [S, D] int8
+    vc = vc_ref[0]                                     # [HB, S, D] int8
     ctx = jax.lax.dot_general(
-        pv, vc, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [G8, D]
-    o_ref[0, 0] = (ctx / denom).astype(o_ref.dtype)
+        pv, vc, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [HB, G8, D]
+    o_ref[0] = (ctx / denom).astype(o_ref.dtype)
+
+
+def _pick_head_block(hkv: int, s: int, d: int) -> int:
+    """Largest head count per grid step keeping the int8 K+V blocks under
+    ~4 MB of VMEM."""
+    budget = 4 * 1024 * 1024
+    hb = max(1, min(hkv, budget // max(2 * s * d, 1)))
+    while hkv % hb:
+        hb -= 1
+    return hb
 
 
 @functools.partial(jax.jit,
@@ -72,24 +84,25 @@ def _kernel(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref, *,
 def _attn_call(q, kc, ks, vc, vs, positions, *, interpret):
     b, hkv, g8, d = q.shape
     s = kc.shape[2]
-    grid = (b, hkv)
+    hb = _pick_head_block(hkv, s, d)
+    grid = (b, hkv // hb)
     scale = 1.0 / float(np.sqrt(d))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, g8, d), lambda bi, hi, p: (bi, hi, 0, 0),
+            pl.BlockSpec((1, hb, g8, d), lambda bi, hi, p: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda bi, hi, p: (bi, hi, 0, 0),
+            pl.BlockSpec((1, hb, s, d), lambda bi, hi, p: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, s), lambda bi, hi, p: (bi, hi, 0, 0),
+            pl.BlockSpec((1, hb, 1, s), lambda bi, hi, p: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s, d), lambda bi, hi, p: (bi, hi, 0, 0),
+            pl.BlockSpec((1, hb, s, d), lambda bi, hi, p: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, s), lambda bi, hi, p: (bi, hi, 0, 0),
+            pl.BlockSpec((1, hb, 1, s), lambda bi, hi, p: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, g8, d), lambda bi, hi, p: (bi, hi, 0, 0),
+        out_specs=pl.BlockSpec((1, hb, g8, d), lambda bi, hi, p: (bi, hi, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
