@@ -98,3 +98,35 @@ def test_sharded_packed_decode_with_cache():
             sp, ids, caches)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_engine_on_sharded_packed_params():
+    """Multi-chip serving end to end: the continuous-batching Engine runs
+    with tp/fsdp-sharded packed weights and a tp-sharded KV cache on the
+    virtual mesh, and its generations match the unsharded engine."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mxq_tpu.serving import engine as eng
+
+    cfg = llama.LlamaConfig.tiny(num_hidden_layers=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    packed = llama.quantize_params_packed(params, cfg, fuse=True)
+    prompt = np.arange(6, dtype=np.int32) + 3
+
+    e_ref = eng.Engine(packed, cfg, eng.EngineConfig(
+        num_slots=2, max_len=32, prefill_buckets=(8,), kv_quant=False,
+        horizon=4))
+    r_ref = e_ref.submit(prompt, max_new_tokens=5)
+    e_ref.run()
+
+    mesh = sharding.make_mesh(dp=1, fsdp=2, tp=2)
+    sp = sharding.shard_params(packed, mesh, packed=True)
+    e = eng.Engine(sp, cfg, eng.EngineConfig(
+        num_slots=2, max_len=32, prefill_buckets=(8,), kv_quant=False,
+        horizon=4))
+    cache_spec = P(None, None, None, "tp", None)   # [L, B, S, H, D]
+    e.caches = jax.tree_util.tree_map(
+        lambda c: jax.device_put(c, NamedSharding(mesh, cache_spec)),
+        e.caches)
+    r = e.submit(prompt, max_new_tokens=5)
+    e.run()
+    assert r.generated == r_ref.generated, (r.generated, r_ref.generated)
