@@ -156,6 +156,82 @@ def get_rolling_token_windows(token_list: list, prefix_token: int,
         predicted += window_pred_len
 
 
+class CachingLM:
+    """Request-level result cache around an LM — the analogue of the
+    vendored harness's ``CachingLM`` (lm-evaluation-harness/lm_eval/base.py
+    :734-790, sqlitedict-backed): identical requests hit sqlite instead of
+    the device, so re-running a task sweep after a crash or with more tasks
+    only scores what is new."""
+
+    def __init__(self, lm, cache_path: str):
+        import sqlite3
+        self.lm = lm
+        self._db = sqlite3.connect(cache_path)
+        self._db.execute(
+            "CREATE TABLE IF NOT EXISTS cache (k TEXT PRIMARY KEY, v BLOB)")
+        self._db.commit()
+
+    @staticmethod
+    def _key(kind: str, *arrays) -> str:
+        import hashlib
+        h = hashlib.sha256(kind.encode())
+        for a in arrays:
+            a = np.asarray(a)
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes())
+        return h.hexdigest()
+
+    def _get(self, key):
+        import pickle
+        row = self._db.execute("SELECT v FROM cache WHERE k=?",
+                               (key,)).fetchone()
+        return pickle.loads(row[0]) if row else None
+
+    def _put(self, key, value) -> None:
+        import pickle
+        self._db.execute("INSERT OR REPLACE INTO cache VALUES (?, ?)",
+                         (key, pickle.dumps(value)))
+        self._db.commit()
+
+    def loglikelihood(self, requests):
+        keys = [self._key("ll", c, g) for c, g in requests]
+        out = [self._get(k) for k in keys]
+        missing = [i for i, v in enumerate(out) if v is None]
+        if missing:
+            fresh = self.lm.loglikelihood([requests[i] for i in missing])
+            for i, v in zip(missing, fresh):
+                out[i] = v
+                self._put(keys[i], v)
+        return out
+
+    def loglikelihood_rolling(self, streams, **kw):
+        keys = [self._key("llr", s) for s in streams]
+        out = [self._get(k) for k in keys]
+        missing = [i for i, v in enumerate(out) if v is None]
+        if missing:
+            fresh = self.lm.loglikelihood_rolling(
+                [streams[i] for i in missing], **kw)
+            for i, v in zip(missing, fresh):
+                out[i] = v
+                self._put(keys[i], v)
+        return out
+
+    def greedy_generate(self, ctx, max_new_tokens: int = 64,
+                        stop_sequences=(), eos_id=None):
+        key = self._key(
+            f"gen:{max_new_tokens}:{eos_id}:"
+            + "|".join(",".join(map(str, s)) for s in stop_sequences), ctx)
+        hit = self._get(key)
+        if hit is None:
+            hit = np.asarray(self.lm.greedy_generate(
+                ctx, max_new_tokens, stop_sequences, eos_id))
+            self._put(key, hit)
+        return hit
+
+    def __getattr__(self, name):
+        return getattr(self.lm, name)
+
+
 def make_disjoint_window(pair):
     """Trim the context so it does not overlap the continuation
     (utils.py:113-116)."""

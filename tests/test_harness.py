@@ -128,3 +128,49 @@ def test_right_padding_invariance():
     (alone, _), = lm.loglikelihood([(ctx, cont)])
     (batched, _), _ = lm.loglikelihood([(ctx, cont), (long_ctx, cont)])
     np.testing.assert_allclose(alone, batched, rtol=1e-4)
+
+
+class TestCachingLM:
+    def test_cache_hits_and_correctness(self, tmp_path):
+        import jax
+        from mxq_tpu.eval import harness
+        from mxq_tpu.models import llama
+
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        lm = harness.MXQLM(params, cfg, batch_size=2, max_len=64)
+
+        calls = {"n": 0}
+        orig = lm.loglikelihood
+
+        def counting(requests):
+            calls["n"] += len(requests)
+            return orig(requests)
+
+        lm.loglikelihood = counting
+        clm = harness.CachingLM(lm, str(tmp_path / "req.db"))
+        reqs = [(np.arange(4, dtype=np.int32) + i,
+                 np.arange(3, dtype=np.int32) + 1) for i in range(3)]
+        first = clm.loglikelihood(reqs)
+        assert calls["n"] == 3
+        again = clm.loglikelihood(reqs + [(np.arange(4, dtype=np.int32) + 9,
+                                           np.arange(3, dtype=np.int32))])
+        assert calls["n"] == 4           # only the new request was scored
+        assert again[:3] == first
+        ref = orig(reqs)
+        for (a, _), (b, _) in zip(first, ref):
+            assert abs(a - b) < 1e-5
+
+    def test_generate_cached(self, tmp_path):
+        import jax
+        from mxq_tpu.eval import harness
+        from mxq_tpu.models import llama
+
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(0))
+        lm = harness.MXQLM(params, cfg, batch_size=1, max_len=64)
+        clm = harness.CachingLM(lm, str(tmp_path / "req.db"))
+        ctx = np.arange(5, dtype=np.int32) + 3
+        a = clm.greedy_generate(ctx, max_new_tokens=4)
+        b = clm.greedy_generate(ctx, max_new_tokens=4)
+        np.testing.assert_array_equal(a, b)
