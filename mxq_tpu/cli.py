@@ -77,6 +77,37 @@ def cmd_ptq(args):
         print(f"saved to {args.save_model}")
 
 
+def cmd_prune(args):
+    """Pruning driver — the reference PTQ CLI's prune dispatch
+    (mxq_quant/main.py:64-86: --prune_method + sparsity_type + ppl)."""
+    import jax.numpy as jnp
+    from mxq_tpu.eval import ppl as ppl_eval
+    from mxq_tpu.ptq import data as ptq_data, prune
+
+    cfg, params = _load_model(args)
+    tok = _tokenizer(args)
+    n = m = 0
+    if args.sparsity_type and ":" in args.sparsity_type:
+        n, m = (int(v) for v in args.sparsity_type.split(":"))
+    ids = jnp.asarray(ptq_data.get_calibration_batch(
+        args.nsamples, args.seqlen, tokenizer=tok,
+        vocab_size=cfg.vocab_size, seed=args.seed, dataset=args.dataset))
+    pruned = prune.prune_model(params, cfg, ids, method=args.prune_method,
+                               sparsity=args.sparsity, n=n, m=m)
+    print(f"actual sparsity {prune.check_sparsity(pruned):.4f}")
+    tokens = ptq_data.get_eval_tokens(tokenizer=tok,
+                                      vocab_size=cfg.vocab_size,
+                                      dataset=args.dataset,
+                                      seqlen=args.seqlen)
+    p = ppl_eval.eval_ppl(pruned, cfg, tokens, seqlen=args.seqlen,
+                          max_windows=args.max_eval_windows)
+    print(f"{args.dataset} ppl (pruned): {p:.4f}")
+    if args.save_model:
+        from mxq_tpu.utils import checkpoint as ckpt
+        ckpt.save_params(args.save_model, pruned, cfg)
+        print(f"saved to {args.save_model}")
+
+
 def cmd_eval_ppl(args):
     from mxq_tpu.ptq import data as ptq_data
     from mxq_tpu.eval import ppl as ppl_eval
@@ -271,6 +302,21 @@ def main(argv=None):
     p.add_argument("--save_model", default=None)
     p.add_argument("--max_eval_windows", type=int, default=None)
     p.set_defaults(fn=cmd_ptq)
+
+    p = sub.add_parser("prune")
+    _add_model_args(p)
+    p.add_argument("--dataset", default="wikitext2",
+                   choices=["wikitext2", "c4", "ptb"])
+    p.add_argument("--prune_method", default="wanda",
+                   choices=["wanda", "magnitude", "sparsegpt"])
+    p.add_argument("--sparsity", type=float, default=0.5)
+    p.add_argument("--sparsity_type", default=None,
+                   help="structured n:m, e.g. 2:4")
+    p.add_argument("--nsamples", type=int, default=16)
+    p.add_argument("--seqlen", type=int, default=2048)
+    p.add_argument("--save_model", default=None)
+    p.add_argument("--max_eval_windows", type=int, default=None)
+    p.set_defaults(fn=cmd_prune)
 
     p = sub.add_parser("eval-ppl")
     _add_model_args(p)
