@@ -80,27 +80,46 @@ def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
         zc = jnp.concatenate(z_parts, axis=0).astype(jnp.float32)
         neg_sz = s_eff * zc
 
+        # FACTORED ZERO CORRECTION: w_j = s_eff*c_j - neg_sz with neg_sz
+        # slab-independent, so
+        #   sum_j dot(x_j, w_j) = sum_j dot(x_j, s_eff*c_j)
+        #                         - dot(sum_j x_j, neg_sz)
+        # — the per-slab subtract (1 of 5 VPU ops/weight) becomes one
+        # cheap [rows, B] running sum + one extra MXU dot per tile
+        # (measured 27.0 -> 21.8 us on the 4096^2 B=8 GEMV).
         w2 = w2_ref[pl.ds(m * W2_ROWS, W2_ROWS), :]    # [48, NL] int32
+        xsum2 = None
         for j in range(16):
             c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
-            w_j = s_eff * c_j.astype(jnp.float32) - neg_sz  # [48, NL] f32
+            w_j = s_eff * c_j.astype(jnp.float32)      # [48, NL] f32
             xs = x2_ref[pl.ds((m * 16 + j) * W2_ROWS, W2_ROWS), :]  # [48, B]
+            xsf = xs.astype(jnp.float32)
+            xsum2 = xsf if xsum2 is None else xsum2 + xsf
             # accumulate through the ref: a value chain keeps every slab's
             # [B, NL] f32 product live at once and blows scoped VMEM for
             # prefill-sized B blocks
             acc_ref[:] += jax.lax.dot_general(
-                xs.astype(jnp.float32), w_j, dimension_numbers=dn,
+                xsf, w_j, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            xsum2, -neg_sz, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
 
-        # ---- 4-bit plane ----
+        # ---- 4-bit plane (same factoring; s4/z4 are per-channel) ----
         w4 = w4_ref[pl.ds(m * W4_ROWS, W4_ROWS), :]    # [32, NL] int32
+        xsum4 = None
         for j in range(8):
             c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
-            w_j = s4 * c_j.astype(jnp.float32) - sz4   # [32, NL]
+            w_j = s4 * c_j.astype(jnp.float32)         # [32, NL]
             xs = x4_ref[pl.ds((m * 8 + j) * W4_ROWS, W4_ROWS), :]  # [32, B]
+            xsf = xs.astype(jnp.float32)
+            xsum4 = xsf if xsum4 is None else xsum4 + xsf
             acc_ref[:] += jax.lax.dot_general(
-                xs.astype(jnp.float32), w_j, dimension_numbers=dn,
+                xsf, w_j, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            xsum4, -jnp.broadcast_to(sz4, (W4_ROWS, sz4.shape[1])),
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
 
     @pl.when(kt == pl.num_programs(2) - 1)
     def _():
