@@ -118,30 +118,35 @@ def allgather_matmul(x_shard: jax.Array, w_local, matmul: Callable,
     chunk it holds (origin (d+s) mod tp) against the matching k-tiles of
     w_local, then passes the chunk along; every hop overlaps the next
     partial product.
+
+    ``w_local`` may be a tuple of weights: one ring pass feeds them all
+    (e.g. gate + up of an MLP), returning a tuple of outputs.
     """
     assert n_ktiles_local >= 1, \
         "K-sharding granularity is one k-tile (1024 cols): need K >= tp*1024"
     tp = jax.lax.psum(1, axis_name)
     d = jax.lax.axis_index(axis_name)
     perm = [(i, (i - 1) % tp) for i in range(tp)]   # chunk moves d -> d-1
-    if isinstance(w_local, PackedMXQLinear):
-        w_local = localize(w_local)
+    ws = w_local if isinstance(w_local, tuple) else (w_local,)
+    ws = tuple(localize(w) if isinstance(w, PackedMXQLinear) else w
+               for w in ws)
 
-    def tile_mm(origin, xc):
-        wk = (slice_ktiles(w_local, origin * n_ktiles_local, n_ktiles_local)
-              if isinstance(w_local, PackedMXQLinear)
+    def tile_mm(w, origin, xc):
+        wk = (slice_ktiles(w, origin * n_ktiles_local, n_ktiles_local)
+              if isinstance(w, PackedMXQLinear)
               else jax.lax.dynamic_slice_in_dim(
-                  w_local, origin * n_ktiles_local * KT_COLS,
+                  w, origin * n_ktiles_local * KT_COLS,
                   n_ktiles_local * KT_COLS, axis=0))
         return matmul(xc, wk)
 
-    acc = tile_mm(d, x_shard)
+    accs = [tile_mm(w, d, x_shard) for w in ws]
     xc = x_shard
     for s in range(1, tp):
         xc = jax.lax.ppermute(xc, axis_name, perm)
-        # the ppermute hop overlaps this independent partial product
-        acc = acc + tile_mm((d + s) % tp, xc)
-    return acc
+        # the ppermute hop overlaps these independent partial products
+        accs = [a + tile_mm(w, (d + s) % tp, xc)
+                for a, w in zip(accs, ws)]
+    return tuple(accs) if isinstance(w_local, tuple) else accs[0]
 
 
 def matmul_reducescatter(x_local: jax.Array, w_local, matmul: Callable,
@@ -175,6 +180,38 @@ def matmul_reducescatter(x_local: jax.Array, w_local, matmul: Callable,
         nxt = chunk_mm((d - 1 - s) % tp)    # independent of the hop below
         acc = jax.lax.ppermute(acc, axis_name, perm) + nxt
     return acc
+
+
+def tp_packed_mlp(mesh, x_kshard, gate, up, down, matmul,
+                  *, n_ktiles_local: int, chunk_cols: int):
+    """A whole Megatron-style MLP block with BOTH collectives chunked and
+    overlapped: one ring pass all-gathers x while computing gate AND up
+    partials per hop (column-parallel, N-sharded), silu(gate)*up locally,
+    then the down projection (row-parallel, K-sharded) rides the
+    reduce-scatter ring — the SURVEY §7.8 'collective-overlapped
+    dequant-GEMM' applied to the decoder MLP (2/3 of decode FLOPs).
+    Activations stay K-sharded between blocks."""
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x, g, u, dn):
+        gl, ul = allgather_matmul(x, (g, u), matmul, "tp",
+                                  n_ktiles_local=n_ktiles_local)
+        h = (jax.nn.silu(gl.astype(jnp.float32))
+             * ul.astype(jnp.float32)).astype(x.dtype)
+        return matmul_reducescatter(h, dn, matmul, "tp",
+                                    chunk_cols=chunk_cols)
+
+    def spec(w, kind):
+        if isinstance(w, PackedMXQLinear):
+            return packed_specs(w, kind)
+        return P(None, "tp") if kind == "n" else P("tp", None)
+
+    return shard_map.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, "tp"), spec(gate, "n"), spec(up, "n"),
+                  spec(down, "k")),
+        out_specs=P(None, "tp"),
+        check_rep=False)(x_kshard, gate, up, down)
 
 
 def tp_block_matmuls(mesh, x_kshard, w_col, w_row, matmul,

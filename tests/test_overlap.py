@@ -92,3 +92,49 @@ def test_packed_ktile_slices_are_additive():
     got = sum(parts)
     np.testing.assert_allclose(np.asarray(got), np.asarray(full),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_packed_tp_mlp_matches_reference():
+    """Full overlapped MLP block (gate+up one ring pass, silu, down
+    reduce-scatter) vs the single-device packed reference."""
+    k, inter = 2048, 2048
+    tp = 2
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, k).astype(np.float32) * 0.3)
+    pg = packfmt.quantize_pack(
+        jnp.asarray(rng.randn(inter, k).astype(np.float32) * 0.2), CFG)
+    pu = packfmt.quantize_pack(
+        jnp.asarray(rng.randn(inter, k).astype(np.float32) * 0.2), CFG)
+    pd = packfmt.quantize_pack(
+        jnp.asarray(rng.randn(k, inter).astype(np.float32) * 0.2), CFG)
+
+    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+    g = xb @ packfmt.unpack_dequant(pg, CFG)
+    u = xb @ packfmt.unpack_dequant(pu, CFG)
+    h = (jax.nn.silu(g) * u).astype(jnp.bfloat16).astype(jnp.float32)
+    y_ref = h @ packfmt.unpack_dequant(pd, CFG)
+
+    mesh = sharding.make_mesh(dp=1, fsdp=1, tp=tp)
+    y = overlap.tp_packed_mlp(
+        mesh, x, pg, pu, pd, lambda a, p: mm.mxq_matmul(a, p, CFG),
+        n_ktiles_local=k // overlap.KT_COLS // tp, chunk_cols=k // tp)
+    err = (np.abs(np.asarray(y) - np.asarray(y_ref)).max()
+           / (np.abs(np.asarray(y_ref)).max() + 1e-9))
+    assert err < 3e-2, err
+
+
+def test_dense_tp_mlp():
+    k = inter = 2048
+    tp = 2
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, k).astype(np.float32) * 0.3)
+    g = jnp.asarray(rng.randn(k, inter).astype(np.float32) * 0.05)
+    u = jnp.asarray(rng.randn(k, inter).astype(np.float32) * 0.05)
+    d = jnp.asarray(rng.randn(inter, k).astype(np.float32) * 0.05)
+    ref = (jax.nn.silu(x @ g) * (x @ u)) @ d
+    mesh = sharding.make_mesh(dp=1, fsdp=1, tp=tp)
+    y = overlap.tp_packed_mlp(mesh, x, g, u, d, lambda a, b: a @ b,
+                              n_ktiles_local=k // overlap.KT_COLS // tp,
+                              chunk_cols=k // tp)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
