@@ -138,3 +138,117 @@ def test_dense_tp_mlp():
                               chunk_cols=k // tp)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def _ref_decode_layer(x, lw, cache, positions, cfg):
+    """Single-device per-slot decode-layer oracle (dense weights)."""
+    from mxq_tpu.models import llama
+    b = x.shape[0]
+    nh, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    h = llama.rms_norm(x, lw["input_layernorm"], cfg.rms_norm_eps)
+    q = (h @ lw["q_proj"]).reshape(b, 1, nh, d)
+    k = (h @ lw["k_proj"]).reshape(b, 1, nkv, d)
+    v = (h @ lw["v_proj"]).reshape(b, 1, nkv, d)
+    cos, sin = llama.rope_tables(cfg, positions[:, None].astype(jnp.float32))
+    q, k = llama.apply_rope(q, k, cos.astype(q.dtype), sin.astype(q.dtype))
+    rows = jnp.arange(b)
+    ck = cache["k"].at[rows, positions].set(k[:, 0])
+    cv = cache["v"].at[rows, positions].set(v[:, 0])
+    kk, vv = ck, cv
+    if nkv != nh:
+        rep = nh // nkv
+        kk = jnp.repeat(kk, rep, axis=2)
+        vv = jnp.repeat(vv, rep, axis=2)
+    s = kk.shape[1]
+    qf = q[:, 0].astype(jnp.float32)
+    kf = kk.transpose(0, 2, 1, 3).astype(jnp.float32)
+    st = jnp.einsum("bhd,bhsd->bhs", qf, kf) / np.sqrt(d)
+    mask = jnp.arange(s)[None, None, :] <= positions[:, None, None]
+    st = jnp.where(mask, st, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(st, axis=-1)
+    ctx = jnp.einsum("bhs,bhsd->bhd", p,
+                     vv.transpose(0, 2, 1, 3).astype(jnp.float32))
+    ctx = ctx.reshape(b, nh * d).astype(x.dtype)
+    x = x + ctx @ lw["o_proj"]
+    h2 = llama.rms_norm(x, lw["post_attention_layernorm"], cfg.rms_norm_eps)
+    act = (jax.nn.silu((h2 @ lw["gate_proj"]).astype(jnp.float32))
+           * (h2 @ lw["up_proj"]).astype(jnp.float32)).astype(x.dtype)
+    return x + act @ lw["down_proj"], {"k": ck, "v": cv}
+
+
+def test_tp_decoder_layer_dense_matches_reference():
+    from mxq_tpu.models import llama
+    from mxq_tpu.parallel import tp_layer
+
+    cfg = llama.LlamaConfig.tiny(hidden_size=2048, intermediate_size=2048,
+                                 num_attention_heads=16,
+                                 num_key_value_heads=16, vocab_size=128)
+    tp = 2
+    rng = np.random.RandomState(7)
+    h = cfg.hidden_size
+
+    def w(i, o):
+        return jnp.asarray(rng.randn(i, o).astype(np.float32)) * 0.02
+
+    lw = {"q_proj": w(h, h), "k_proj": w(h, h), "v_proj": w(h, h),
+          "o_proj": w(h, h), "gate_proj": w(h, cfg.intermediate_size),
+          "up_proj": w(h, cfg.intermediate_size),
+          "down_proj": w(cfg.intermediate_size, h),
+          "input_layernorm": jnp.ones((h,), jnp.float32),
+          "post_attention_layernorm": jnp.ones((h,), jnp.float32)}
+    b, s = 2, 16
+    x = jnp.asarray(rng.randn(b, h).astype(np.float32)) * 0.3
+    cache = {"k": jnp.zeros((b, s, 16, cfg.head_dim), jnp.float32),
+             "v": jnp.zeros((b, s, 16, cfg.head_dim), jnp.float32)}
+    positions = jnp.array([3, 7], jnp.int32)
+    y_ref, c_ref = _ref_decode_layer(x, lw, cache, positions, cfg)
+
+    mesh = sharding.make_mesh(dp=1, fsdp=1, tp=tp)
+    y, c = tp_layer.tp_decode_layer(mesh, x, lw, cache, positions, cfg,
+                                    lambda a, b_: a @ b_)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(c["k"]), np.asarray(c_ref["k"]),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_tp_decoder_layer_packed():
+    from mxq_tpu.models import llama
+    from mxq_tpu.parallel import tp_layer
+
+    cfg = llama.LlamaConfig.tiny(hidden_size=2048, intermediate_size=2048,
+                                 num_attention_heads=16,
+                                 num_key_value_heads=16, vocab_size=128)
+    tp = 2
+    rng = np.random.RandomState(8)
+    h = cfg.hidden_size
+
+    def pw(i, o):
+        return packfmt.quantize_pack(
+            jnp.asarray(rng.randn(o, i).astype(np.float32)) * 0.05, CFG)
+
+    lw = {n: pw(h, h) for n in ("q_proj", "k_proj", "v_proj", "o_proj")}
+    lw["gate_proj"] = pw(h, cfg.intermediate_size)
+    lw["up_proj"] = pw(h, cfg.intermediate_size)
+    lw["down_proj"] = pw(cfg.intermediate_size, h)
+    lw["input_layernorm"] = jnp.ones((h,), jnp.float32)
+    lw["post_attention_layernorm"] = jnp.ones((h,), jnp.float32)
+
+    dense = {k: (packfmt.unpack_dequant(v, CFG)
+                 if isinstance(v, packfmt.PackedMXQLinear) else v)
+             for k, v in lw.items()}
+    b, s = 2, 16
+    x = jnp.asarray(rng.randn(b, h).astype(np.float32)) * 0.3
+    cache = {"k": jnp.zeros((b, s, 16, cfg.head_dim), jnp.float32),
+             "v": jnp.zeros((b, s, 16, cfg.head_dim), jnp.float32)}
+    positions = jnp.array([5, 11], jnp.int32)
+    y_ref, _ = _ref_decode_layer(x, dense, cache, positions, cfg)
+
+    mesh = sharding.make_mesh(dp=1, fsdp=1, tp=tp)
+    y, _ = tp_layer.tp_decode_layer(
+        mesh, x, lw, cache, positions, cfg,
+        lambda a, p: mm.mxq_matmul(a, p, CFG))
+    err = (np.abs(np.asarray(y) - np.asarray(y_ref)).max()
+           / (np.abs(np.asarray(y_ref)).max() + 1e-9))
+    assert err < 3e-2, err
