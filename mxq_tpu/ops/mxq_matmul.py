@@ -203,8 +203,8 @@ def _on_cpu() -> bool:
 def _auto_block_n(n: int) -> int:
     """Largest lane tile dividing the padded N — bigger tiles amortize
     per-tile pipeline overhead (measured 36us -> 28us on a 4096^2 GEMV going
-    256 -> 1024)."""
-    for bn in (1024, 512, 256):
+    256 -> 1024, and a further ~1.5% at 2048)."""
+    for bn in (2048, 1024, 512, 256):
         if n % bn == 0:
             return bn
     return N_LANE
