@@ -92,16 +92,18 @@ def write_tokens(k_pages, v_pages, k_new, v_new, page_ids, offsets,
 
     if layer_idx is None:
         return wr(k_pages, k_new), wr(v_pages, v_new)
-    kl = jax.lax.dynamic_index_in_dim(k_pages, layer_idx, 0, keepdims=False)
-    vl = jax.lax.dynamic_index_in_dim(v_pages, layer_idx, 0, keepdims=False)
-    kl, vl = wr(kl, k_new), wr(vl, v_new)
-    k_pages = jax.lax.dynamic_update_slice(
-        k_pages, kl[None].astype(k_pages.dtype),
-        (layer_idx,) + (0,) * (k_pages.ndim - 1))
-    v_pages = jax.lax.dynamic_update_slice(
-        v_pages, vl[None].astype(v_pages.dtype),
-        (layer_idx,) + (0,) * (v_pages.ndim - 1))
-    return k_pages, v_pages
+
+    def wr_stacked(pages, val):
+        # direct indexed scatter into the stacked [L, KVH, P, ps, D] pool —
+        # slicing the layer out and back copied the whole layer's pages
+        # (~2x75 MB per layer per step; measured 26.6 -> expected ~12
+        # ms/step on 7B decode after removing it)
+        # advanced indices (traced layer_idx, page_ids, offsets) are
+        # non-adjacent, so the result dims go FIRST: updates are [B, KVH, D]
+        return pages.at[layer_idx, :, page_ids, offsets].set(
+            val.astype(pages.dtype))
+
+    return wr_stacked(k_pages, k_new), wr_stacked(v_pages, v_new)
 
 
 def paged_attend(q, k_pages_l, v_pages_l, lengths, page_indices,
