@@ -69,6 +69,11 @@ class LlamaConfig:
     # causal forward (training/prefill), XLA einsum elsewhere; "xla" forces
     # the einsum path; "flash" forces flash attention.
     attn_impl: str = "auto"
+    # packed-path prefill activation bits: 8 routes the GEMM-regime matmuls
+    # through int8 MXU dots (W~4A8, 2x the bf16 MXU rate — the reference's
+    # a_bits=8 SymQuantizer choice applied where it buys throughput,
+    # utils_quant.py:622-626); 32 keeps the bf16-dequant path.
+    prefill_act_bits: int = 32
 
     @property
     def head_dim(self) -> int:
@@ -203,9 +208,11 @@ def quant_linear(x: jax.Array, w, cfg: LlamaConfig,
             # dequant kernel into slab-order bf16 planes + XLA's tuned GEMM
             # (~1.5x over letting XLA fuse the jnp unpack; see
             # ops/mxq_matmul.py prefill section)
+            pf = (_mm.mxq_matmul_prefill_a8 if cfg.prefill_act_bits == 8
+                  and not train else _mm.mxq_matmul_prefill)
             if isinstance(w, StackedPackedRef):
-                return _mm.mxq_matmul_prefill(x, w.packed, w.idx, cfg.scheme)
-            return _mm.mxq_matmul_prefill(x, w, None, cfg.scheme)
+                return pf(x, w.packed, w.idx, cfg.scheme)
+            return pf(x, w, None, cfg.scheme)
         if isinstance(w, StackedPackedRef):
             return _mm.mxq_matmul_stacked(x, w.packed, w.idx, cfg.scheme)
         return _mm.mxq_matmul(x, w, cfg.scheme)

@@ -371,6 +371,153 @@ def mxq_matmul_prefill(x: jax.Array, p, layer_idx=None,
 
 
 # ---------------------------------------------------------------------------
+# A8 prefill (int8 activations): dequant-to-int8 kernel + int8 MXU GEMM
+# ---------------------------------------------------------------------------
+#
+# At prefill token counts the matmul is MXU-bound, and the bf16 MXU is the
+# ceiling the dequant-to-bf16 path cannot beat (docs/RESULTS.md). The v5e MXU
+# runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197 T-ops), so the
+# way to actually WIN the prefill regime is W~4A8: requantize the dequantized
+# weight to int8 per out-channel inside the unpack kernel and quantize
+# activations per token, then one int8 GEMM + a rank-1 f32 rescale. This is
+# in-scheme for MXQ: the reference trains/evaluates 8-bit activation configs
+# via SymQuantizer per-token fake-quant (LLM-QAT utils_quant.py:622-626,
+# :717-721); here the same A8 choice is applied where it buys MXU throughput.
+#
+# The per-channel weight scale is a closed-form bound from the metadata alone
+# (max over groups of s_eff * max(z, maxc - z)), so no dequantized pass is
+# needed to find maxima.
+
+
+def _int8_weight_scale(meta2, qscale, qmin, smeta4) -> jax.Array:
+    """Per-out-channel int8 scale bound [1, N] f32 from packed metadata."""
+    qs = qscale.astype(jnp.float32)
+    qm = qmin.astype(jnp.float32)
+    m = None
+    for i in range(3):
+        zc = (jax.lax.shift_right_logical(meta2, 2 * i) & 0x3).astype(
+            jnp.float32)
+        sc = (jax.lax.shift_right_logical(meta2, 6 + SCALE_CODE_BITS * i)
+              & ((1 << SCALE_CODE_BITS) - 1)).astype(jnp.float32)
+        s = qs * sc + qm
+        b = jnp.abs(s) * jnp.maximum(zc, 3.0 - zc)
+        m = b if m is None else jnp.maximum(m, b)
+    m = jnp.max(m, axis=0)                              # [N]
+    s4 = smeta4[0].astype(jnp.float32)
+    z4 = smeta4[1].astype(jnp.float32)
+    m = jnp.maximum(m, jnp.abs(s4) * jnp.maximum(z4, 15.0 - z4))
+    return jnp.maximum(m / 127.0, 1e-12)[None, :]
+
+
+def _dequant_int8_kernel(w2_ref, w4_ref, meta_ref, qs_ref, qm_ref, sm_ref,
+                         inv_ref, q2_ref, q4_ref):
+    s_eff, zc = _decode_meta(meta_ref, qs_ref, qm_ref)
+    neg_sz = s_eff * zc
+    inv = inv_ref[:]
+    w2 = w2_ref[:]
+    for j in range(16):
+        c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+        w_j = (s_eff * c_j.astype(jnp.float32) - neg_sz) * inv
+        q2_ref[pl.ds(j * W2_ROWS, W2_ROWS), :] = jnp.round(w_j).astype(
+            jnp.int8)
+    sm = sm_ref[:]
+    s4 = sm[0:1, :]
+    sz4 = s4 * sm[1:2, :]
+    w4 = w4_ref[:]
+    for j in range(8):
+        c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+        w_j = (s4 * c_j.astype(jnp.float32) - sz4) * inv
+        q4_ref[pl.ds(j * W4_ROWS, W4_ROWS), :] = jnp.round(w_j).astype(
+            jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _dequant_int8_pallas(w2, w4, meta2, qscale, qmin, smeta4, inv_sw,
+                         *, block_n, interpret):
+    nbp, n = meta2.shape
+    n_kt = nbp // NB_TILE
+    grid = (n_kt, n // block_n)
+    return pl.pallas_call(
+        _dequant_int8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W2_ROWS, block_n), lambda ki, ni: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W4_ROWS, block_n), lambda ki, ni: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE, block_n), lambda ki, ni: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE, block_n), lambda ki, ni: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE, block_n), lambda ki, ni: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda ki, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda ki, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K2T, block_n), lambda ki, ni: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K4T, block_n), lambda ki, ni: (ki, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_kt * K2T, n), jnp.int8),
+            jax.ShapeDtypeStruct((n_kt * K4T, n), jnp.int8),
+        ],
+        interpret=interpret,
+    )(w2, w4, meta2, qscale, qmin, smeta4, inv_sw)
+
+
+def _act_quant_rows(xb: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-token symmetric int8 scale: xb [T, K] f32 -> (scale [T, 1], inv)."""
+    sx = jnp.maximum(jnp.max(jnp.abs(xb), axis=-1, keepdims=True),
+                     1e-12) / 127.0
+    return sx, 1.0 / sx
+
+
+def mxq_matmul_prefill_a8(x: jax.Array, p, layer_idx=None,
+                          cfg: MXQConfig = DEFAULT_SCHEME,
+                          interpret: bool | None = None) -> jax.Array:
+    """y = x @ dequant(p) in the GEMM regime via int8 MXU dots (W~4A8).
+
+    Activations are per-token symmetric int8, weights requantized per
+    out-channel to int8 inside the unpack kernel; the int32 GEMM result gets
+    one rank-1 f32 rescale. Rel err vs the f32 path ~1% (per-token x
+    per-channel), tested in tests/test_mxq_matmul.py.
+    """
+    if interpret is None:
+        interpret = _on_cpu()
+    if layer_idx is not None:
+        p = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, layer_idx, 0,
+                                                   keepdims=False), p)
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, x.shape[-1])).astype(jnp.float32)
+    n_kt = p.nbp // NB_TILE
+    sw = _int8_weight_scale(p.meta2, p.qscale, p.qmin, p.smeta4)   # [1, N]
+    block_n = _auto_block_n(p.meta2.shape[-1])
+    q2, q4 = _dequant_int8_pallas(p.w2, p.w4, p.meta2, p.qscale, p.qmin,
+                                  p.smeta4, 1.0 / sw, block_n=block_n,
+                                  interpret=interpret)
+    sx, inv_sx = _act_quant_rows(xb)
+    x2, x4 = packfmt.pad_inputs_split(xb, p, cfg)
+    xq2 = jnp.clip(jnp.round(permute_x2(x2, n_kt) * inv_sx), -127, 127
+                   ).astype(jnp.int8)
+    xq4 = jnp.clip(jnp.round(permute_x4(x4, n_kt) * inv_sx), -127, 127
+                   ).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(xq2, q2, dimension_numbers=dn,
+                              preferred_element_type=jnp.int32)
+    acc += jax.lax.dot_general(xq4, q4, dimension_numbers=dn,
+                               preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * sw
+    return y[:, : p.out_features].astype(x.dtype).reshape(
+        lead + (p.out_features,))
+
+
+# ---------------------------------------------------------------------------
 # Stacked-layer variant: index layer weights inside the kernel
 # ---------------------------------------------------------------------------
 #

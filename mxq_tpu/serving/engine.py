@@ -55,6 +55,10 @@ class EngineConfig:
     kv_quant: bool = True               # int8 KV cache (kv_bits analogue)
     greedy: bool = True
     horizon: int = 8                    # decode steps per device dispatch
+    # route prefill matmuls through int8 MXU dots (W~4A8) — ~2x the bf16 MXU
+    # rate; the reference's a_bits=8 choice applied to the serving prefill
+    # (ops/mxq_matmul.py A8 section). Decode is unaffected.
+    prefill_a8: bool = False
 
 
 class _PyScheduler:
@@ -117,6 +121,8 @@ class Engine:
     def __init__(self, params, cfg: llama.LlamaConfig,
                  ecfg: EngineConfig = EngineConfig()):
         self.params = params
+        if ecfg.prefill_a8:
+            cfg = dataclasses.replace(cfg, prefill_act_bits=8)
         self.cfg = cfg
         buckets = tuple(b for b in sorted(ecfg.prefill_buckets)
                         if b <= ecfg.max_len) or (ecfg.max_len,)

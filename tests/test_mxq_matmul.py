@@ -70,6 +70,51 @@ def test_prefill_stacked_indexing():
                                    np.asarray(y_ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("b,o,k", [(512, 256, 1024), (96, 100, 2112)])
+def test_prefill_a8_matches_f32_path(b, o, k):
+    """W~4A8 int8-MXU prefill vs the f32 reference: per-token x per-channel
+    int8 keeps relative error at the ~1% scale."""
+    w = jax.random.normal(jax.random.PRNGKey(10), (o, k), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(11), (b, k), jnp.float32)
+    p = packfmt.quantize_pack(w, CFG)
+    y = mm.mxq_matmul_prefill_a8(x, p, None, CFG)
+    y_ref = x @ packfmt.unpack_dequant(p, CFG)
+    assert y.shape == (b, o)
+    scale = float(jnp.max(jnp.abs(y_ref)))
+    err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - y_ref))) / scale
+    assert err < 0.03, err
+
+
+def test_prefill_a8_stacked_indexing():
+    l, o, k, b = 3, 256, 1024, 64
+    ws = jax.random.normal(jax.random.PRNGKey(12), (l, o, k), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(13), (b, k), jnp.float32)
+    ps = jax.vmap(lambda w: packfmt.quantize_pack(w, CFG))(ws)
+
+    @jax.jit
+    def at(idx):
+        return mm.mxq_matmul_prefill_a8(x, ps, idx, CFG)
+
+    for i in range(l):
+        pi = jax.tree_util.tree_map(lambda a: a[i], ps)
+        y_ref = mm.mxq_matmul_prefill_a8(x, pi, None, CFG)
+        # fusion-order f32 differences can flip an occasional int8 rounding;
+        # agreement is to the int8-step scale, not bitwise
+        d = np.abs(np.asarray(at(jnp.int32(i))) - np.asarray(y_ref)).max()
+        assert d < 5e-3 * np.abs(np.asarray(y_ref)).max(), d
+
+
+def test_int8_weight_scale_bound_is_safe():
+    """The metadata-derived per-channel scale bound must cover every
+    dequantized weight magnitude (so int8 requant never clips)."""
+    w = jax.random.normal(jax.random.PRNGKey(14), (256, 2048), jnp.float32)
+    p = packfmt.quantize_pack(w, CFG)
+    sw = mm._int8_weight_scale(p.meta2, p.qscale, p.qmin, p.smeta4)  # [1, N]
+    wd = packfmt.unpack_dequant(p, CFG)                              # [K, N]
+    maxes = jnp.max(jnp.abs(wd), axis=0)
+    assert bool(jnp.all(maxes <= sw[0, : maxes.shape[0]] * 127.0 * 1.0001))
+
+
 def test_prefill_3d_and_agreement_with_gemv_path():
     """The two execution paths (fused GEMV kernel vs dequant+XLA GEMM) agree."""
     w = jax.random.normal(jax.random.PRNGKey(8), (256, 1024), jnp.float32)

@@ -1,0 +1,449 @@
+"""Round-2b GEMV kernel experiments: ablation of the production v3+factored
+body to locate the bottleneck (DMA vs VPU-unpack vs MXU passes), plus
+candidate improvements:
+
+* ``bf16dot`` — stage w_j in bf16 so the MXU dot is a single native bf16 pass
+  instead of the 3-pass f32x f32 decomposition (costs +1 VPU convert/slab).
+* ``shiftchain`` — descending-slab extraction (two shifts, no mask constant).
+* ``kt4`` — four k-tiles per grid step.
+
+Ablations (WRONG math, perf only): ``noscale`` (skip s_eff mul),
+``nounpack`` (skip shift+and), ``nomxu`` (accumulate w_j, one dot/tile),
+``dma`` (touch all inputs, trivial compute).
+
+Run: python tools/kernel_r3.py [mode1,mode2,...]
+"""
+
+import functools
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mxq_tpu import packfmt
+from mxq_tpu.config import MXQConfig
+from mxq_tpu.ops import mxq_matmul as mm
+from mxq_tpu.ops.mxq_matmul import W2_ROWS, W4_ROWS, K2T, K4T, NB_TILE
+from mxq_tpu.packfmt import SCALE_CODE_BITS
+from mxq_tpu.utils.benchlib import time_op
+
+CFG = MXQConfig()
+DN = (((0,), (0,)), ((), ()))
+
+
+def _decode_tile(meta_ref, qs_ref, qm_ref, m):
+    meta = meta_ref[pl.ds(m * NB_TILE, NB_TILE), :]
+    qs = qs_ref[pl.ds(m * NB_TILE, NB_TILE), :].astype(jnp.float32)
+    qm = qm_ref[pl.ds(m * NB_TILE, NB_TILE), :].astype(jnp.float32)
+    s_parts, z_parts = [], []
+    for i in range(3):
+        zc_i = jax.lax.shift_right_logical(meta, 2 * i) & 0x3
+        sc_i = (jax.lax.shift_right_logical(meta, 6 + SCALE_CODE_BITS * i)
+                & ((1 << SCALE_CODE_BITS) - 1))
+        s_parts.append(qs * sc_i.astype(jnp.float32) + qm)
+        z_parts.append(zc_i)
+    s_eff = jnp.concatenate(s_parts, axis=0)
+    zc = jnp.concatenate(z_parts, axis=0).astype(jnp.float32)
+    return s_eff, zc
+
+
+def kernel_mode(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+                s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, kt_mult,
+                mode):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s4 = s4_ref[:]
+    z4 = z4_ref[:]
+    sz4 = s4 * z4
+
+    if mode == "dma":
+        # touch every input once with trivial compute: DMA floor
+        acc_ref[:] += jax.lax.dot_general(
+            x2_ref[pl.ds(0, W2_ROWS), :].astype(jnp.float32),
+            w2_ref[pl.ds(0, W2_ROWS), :].astype(jnp.float32),
+            dimension_numbers=DN, preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            x4_ref[pl.ds(0, W4_ROWS), :].astype(jnp.float32),
+            w4_ref[pl.ds(0, W4_ROWS), :].astype(jnp.float32),
+            dimension_numbers=DN, preferred_element_type=jnp.float32)
+        misc = (meta_ref[:].astype(jnp.float32)
+                + qs_ref[:].astype(jnp.float32)
+                + qm_ref[:].astype(jnp.float32))
+        acc_ref[:] += jax.lax.dot_general(
+            x2_ref[pl.ds(0, NB_TILE * kt_mult), :].astype(jnp.float32), misc,
+            dimension_numbers=DN, preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            x2_ref[pl.ds(0, 1), :].astype(jnp.float32), sz4,
+            dimension_numbers=DN, preferred_element_type=jnp.float32)
+    else:
+        for m in range(kt_mult):
+            s_eff, zc = _decode_tile(meta_ref, qs_ref, qm_ref, m)
+            neg_sz = s_eff * zc
+            w2 = w2_ref[pl.ds(m * W2_ROWS, W2_ROWS), :]
+            if mode == "bf16dot":
+                s_bf = s_eff.astype(jnp.bfloat16)
+            if mode == "nounpack":
+                w2f = w2.astype(jnp.float32)
+            wsum = None
+            xsum2 = None
+            for j in range(16):
+                xs = x2_ref[pl.ds((m * 16 + j) * W2_ROWS, W2_ROWS), :]
+                if mode == "bf16dot":
+                    c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+                    w_j = s_bf * c_j.astype(jnp.bfloat16)
+                    acc_ref[:] += jax.lax.dot_general(
+                        xs, w_j, dimension_numbers=DN,
+                        preferred_element_type=jnp.float32)
+                    xsf = xs.astype(jnp.float32)
+                    xsum2 = xsf if xsum2 is None else xsum2 + xsf
+                    continue
+                xsf = xs.astype(jnp.float32)
+                if mode == "noscale":
+                    c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+                    w_j = c_j.astype(jnp.float32)
+                elif mode == "nounpack":
+                    w_j = s_eff * w2f
+                else:  # prod / nomxu / kt4 / shiftchain
+                    if mode == "shiftchain":
+                        # descending chain: top 2 bits, then shift left
+                        sh = jax.lax.shift_left(w2, 2 * (15 - j))
+                        c_j = jax.lax.shift_right_logical(sh, 30)
+                    else:
+                        c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+                    w_j = s_eff * c_j.astype(jnp.float32)
+                if mode == "nomxu":
+                    wsum = w_j if wsum is None else wsum + w_j
+                else:
+                    xsum2 = xsf if xsum2 is None else xsum2 + xsf
+                    acc_ref[:] += jax.lax.dot_general(
+                        xsf, w_j, dimension_numbers=DN,
+                        preferred_element_type=jnp.float32)
+            if mode == "nomxu":
+                acc_ref[:] += jax.lax.dot_general(
+                    x2_ref[pl.ds(m * 16 * W2_ROWS, W2_ROWS), :]
+                    .astype(jnp.float32),
+                    wsum, dimension_numbers=DN,
+                    preferred_element_type=jnp.float32)
+            elif mode != "noscale":
+                acc_ref[:] += jax.lax.dot_general(
+                    xsum2, -neg_sz, dimension_numbers=DN,
+                    preferred_element_type=jnp.float32)
+
+            w4 = w4_ref[pl.ds(m * W4_ROWS, W4_ROWS), :]
+            if mode == "nounpack":
+                w4f = w4.astype(jnp.float32)
+            if mode == "bf16dot":
+                s4_bf = s4.astype(jnp.bfloat16)
+            wsum = None
+            xsum4 = None
+            for j in range(8):
+                xs = x4_ref[pl.ds((m * 8 + j) * W4_ROWS, W4_ROWS), :]
+                if mode == "bf16dot":
+                    c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+                    w_j = s4_bf * c_j.astype(jnp.bfloat16)
+                    acc_ref[:] += jax.lax.dot_general(
+                        xs, w_j, dimension_numbers=DN,
+                        preferred_element_type=jnp.float32)
+                    xsf = xs.astype(jnp.float32)
+                    xsum4 = xsf if xsum4 is None else xsum4 + xsf
+                    continue
+                xsf = xs.astype(jnp.float32)
+                if mode == "noscale":
+                    c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+                    w_j = c_j.astype(jnp.float32)
+                elif mode == "nounpack":
+                    w_j = s4 * w4f
+                else:
+                    if mode == "shiftchain":
+                        sh = jax.lax.shift_left(w4, 4 * (7 - j))
+                        c_j = jax.lax.shift_right_logical(sh, 28)
+                    else:
+                        c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+                    w_j = s4 * c_j.astype(jnp.float32)
+                if mode == "nomxu":
+                    wsum = w_j if wsum is None else wsum + w_j
+                else:
+                    xsum4 = xsf if xsum4 is None else xsum4 + xsf
+                    acc_ref[:] += jax.lax.dot_general(
+                        xsf, w_j, dimension_numbers=DN,
+                        preferred_element_type=jnp.float32)
+            if mode == "nomxu":
+                acc_ref[:] += jax.lax.dot_general(
+                    x4_ref[pl.ds(m * 8 * W4_ROWS, W4_ROWS), :]
+                    .astype(jnp.float32),
+                    wsum, dimension_numbers=DN,
+                    preferred_element_type=jnp.float32)
+            elif mode != "noscale":
+                acc_ref[:] += jax.lax.dot_general(
+                    xsum4,
+                    -jnp.broadcast_to(sz4, (W4_ROWS, sz4.shape[1])),
+                    dimension_numbers=DN, preferred_element_type=jnp.float32)
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Structural variants: halfword/byte multi-slab extraction
+# ---------------------------------------------------------------------------
+
+
+def permute_x2_pair(x2: jax.Array, n_kt: int) -> jax.Array:
+    """Halfword-pair layout: row p*96 + 2r + h <- col 16r + p + 8h."""
+    b = x2.shape[0]
+    return (x2.reshape(b, n_kt, W2_ROWS, 2, 8).transpose(0, 1, 4, 2, 3)
+            .reshape(b, -1))
+
+
+def permute_x4_pair(x4: jax.Array, n_kt: int) -> jax.Array:
+    """Halfword-pair layout (4b): row j*64 + 2r + h <- col 8r + j + 4h."""
+    b = x4.shape[0]
+    return (x4.reshape(b, n_kt, W4_ROWS, 2, 4).transpose(0, 1, 4, 2, 3)
+            .reshape(b, -1))
+
+
+def permute_x2_quad(x2: jax.Array, n_kt: int) -> jax.Array:
+    """Byte-quad layout: row j*192 + 4r + bb <- col 16r + j + 4bb."""
+    b = x2.shape[0]
+    return (x2.reshape(b, n_kt, W2_ROWS, 4, 4).transpose(0, 1, 4, 2, 3)
+            .reshape(b, -1))
+
+
+def permute_x4_quad(x4: jax.Array, n_kt: int) -> jax.Array:
+    """Byte-quad layout (4b): row j*128 + 4r + bb <- col 8r + j + 2bb."""
+    b = x4.shape[0]
+    return (x4.reshape(b, n_kt, W4_ROWS, 4, 2).transpose(0, 1, 4, 2, 3)
+            .reshape(b, -1))
+
+
+def kernel_bfexp(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+                 s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, kt_mult):
+    """Exponent-injection unpack: ((w >> (2j-5)) & 0x0060_0060) | 0x3F80_3F80
+    bitcast to bf16 reads 1 + c/4 per halfword; w_j = (4s)*pb - (4s + s*z)
+    is one fused multiply-sub, and the dot is a single native bf16 MXU pass.
+    No int->float convert, no zero-correction dot. (probe_mosaic2.py #8/#9)"""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s4 = s4_ref[:]
+    z4 = z4_ref[:]
+    for m in range(kt_mult):
+        s_eff, zc = _decode_tile(meta_ref, qs_ref, qm_ref, m)
+        s4x = s_eff * 4.0
+        bias = s4x + s_eff * zc
+        s96 = jnp.repeat(s4x, 2, axis=0).astype(jnp.bfloat16)
+        b96 = jnp.repeat(bias, 2, axis=0).astype(jnp.bfloat16)
+        w2 = w2_ref[pl.ds(m * W2_ROWS, W2_ROWS), :]
+        for j in range(8):
+            if 2 * j >= 5:
+                t = jax.lax.shift_right_logical(w2, 2 * j - 5)
+            else:
+                t = jax.lax.shift_left(w2, 5 - 2 * j)
+            p = (t & 0x00600060) | 0x3F803F80
+            pb = pltpu.bitcast(p, jnp.bfloat16)          # [96, NL]
+            w_j = s96 * pb - b96
+            xs = x2_ref[pl.ds((m * 8 + j) * 2 * W2_ROWS, 2 * W2_ROWS), :]
+            acc_ref[:] += jax.lax.dot_general(
+                xs, w_j, dimension_numbers=DN,
+                preferred_element_type=jnp.float32)
+        # 4-bit plane: 1 + c/16 at mantissa bits 3-6
+        s16x = s4 * 16.0
+        b4 = (s16x + s4 * z4).astype(jnp.bfloat16)
+        s16b = s16x.astype(jnp.bfloat16)
+        w4 = w4_ref[pl.ds(m * W4_ROWS, W4_ROWS), :]
+        for j in range(4):
+            if 4 * j >= 3:
+                t = jax.lax.shift_right_logical(w4, 4 * j - 3)
+            else:
+                t = jax.lax.shift_left(w4, 3 - 4 * j)
+            p = (t & 0x00780078) | 0x3F803F80
+            pb = pltpu.bitcast(p, jnp.bfloat16)          # [64, NL]
+            w_j = s16b * pb - b4
+            xs = x4_ref[pl.ds((m * 4 + j) * 2 * W4_ROWS, 2 * W4_ROWS), :]
+            acc_ref[:] += jax.lax.dot_general(
+                xs, w_j, dimension_numbers=DN,
+                preferred_element_type=jnp.float32)
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def kernel_i8quad(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+                  s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, kt_mult):
+    """Byte-quad unpack: (w >> 2j) & 0x03030303, bitcast int32->int8
+    (sublane x4), one int8->f32 convert + f32 scale-mul per FOUR slabs'
+    worth of codes; factored zero correction as in prod."""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s4 = s4_ref[:]
+    z4 = z4_ref[:]
+    sz4 = s4 * z4
+    for m in range(kt_mult):
+        s_eff, zc = _decode_tile(meta_ref, qs_ref, qm_ref, m)
+        neg_sz = s_eff * zc
+        s192 = jnp.repeat(s_eff, 4, axis=0)
+        n192 = jnp.repeat(neg_sz, 4, axis=0)
+        w2 = w2_ref[pl.ds(m * W2_ROWS, W2_ROWS), :]
+        xsum = None
+        for j in range(4):
+            t = jax.lax.shift_right_logical(w2, 2 * j) & 0x03030303
+            c8 = pltpu.bitcast(t, jnp.int8)              # [192, NL]
+            w_j = s192 * c8.astype(jnp.float32)
+            xs = x2_ref[pl.ds((m * 4 + j) * 4 * W2_ROWS, 4 * W2_ROWS), :]
+            xsf = xs.astype(jnp.float32)
+            xsum = xsf if xsum is None else xsum + xsf
+            acc_ref[:] += jax.lax.dot_general(
+                xsf, w_j, dimension_numbers=DN,
+                preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            xsum, -n192, dimension_numbers=DN,
+            preferred_element_type=jnp.float32)
+
+        w4 = w4_ref[pl.ds(m * W4_ROWS, W4_ROWS), :]
+        xsum = None
+        for j in range(2):
+            t = jax.lax.shift_right_logical(w4, 4 * j) & 0x0F0F0F0F
+            c8 = pltpu.bitcast(t, jnp.int8)              # [128, NL]
+            w_j = s4 * c8.astype(jnp.float32)
+            xs = x4_ref[pl.ds((m * 2 + j) * 4 * W4_ROWS, 4 * W4_ROWS), :]
+            xsf = xs.astype(jnp.float32)
+            xsum = xsf if xsum is None else xsum + xsf
+            acc_ref[:] += jax.lax.dot_general(
+                xsf, w_j, dimension_numbers=DN,
+                preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            xsum, -jnp.broadcast_to(sz4, (4 * W4_ROWS, sz4.shape[1])),
+            dimension_numbers=DN, preferred_element_type=jnp.float32)
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+STRUCT_KERNELS = {"bfexp": (kernel_bfexp, permute_x2_pair, permute_x4_pair),
+                  "i8quad": (kernel_i8quad, permute_x2_quad,
+                             permute_x4_quad)}
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "block_n",
+                                             "kt_mult", "mode"))
+def run_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
+               *, block_b, block_n, kt_mult, mode):
+    b = x2.shape[1]
+    nbp, n = meta2.shape
+    n_kt = nbp // NB_TILE // kt_mult
+    grid = (b // block_b, n // block_n, n_kt)
+    if mode in STRUCT_KERNELS:
+        kernel = functools.partial(STRUCT_KERNELS[mode][0],
+                                   out_dtype=jnp.float32, kt_mult=kt_mult)
+    else:
+        kernel = functools.partial(kernel_mode, out_dtype=jnp.float32,
+                                   kt_mult=kt_mult, mode=mode)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((K2T * kt_mult, block_b),
+                         lambda bi, ni, ki: (ki, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K4T * kt_mult, block_b),
+                         lambda bi, ni, ki: (ki, bi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W2_ROWS * kt_mult, block_n),
+                         lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W4_ROWS * kt_mult, block_n),
+                         lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE * kt_mult, block_n),
+                         lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE * kt_mult, block_n),
+                         lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE * kt_mult, block_n),
+                         lambda bi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda bi, ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda bi, ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, block_n), lambda bi, ni, ki: (bi, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row)
+
+
+def bench_variant(p, xb, mode, block_b=8, block_n=2048, kt_mult=2):
+    n_kt = p.nbp // NB_TILE
+    if block_n > p.meta2.shape[-1]:
+        block_n = mm._auto_block_n(p.meta2.shape[-1])
+    wargs = (p.w2, p.w4, p.meta2, p.qscale, p.qmin,
+             p.smeta4[0:1], p.smeta4[1:2])
+
+    px2, px4 = STRUCT_KERNELS.get(mode, (None, mm.permute_x2,
+                                         mm.permute_x4))[1:]
+
+    def step(c, x):
+        x2, x4 = packfmt.pad_inputs_split(x, p, CFG)
+        x2 = px2(x2, n_kt).T.astype(jnp.bfloat16)
+        x4 = px4(x4, n_kt).T.astype(jnp.bfloat16)
+        y = run_padded(x2, x4, *c, block_b=block_b, block_n=block_n,
+                       kt_mult=kt_mult, mode=mode)
+        return y.astype(x.dtype)
+
+    y = step(wargs, xb)
+    ref = (xb.astype(jnp.bfloat16).astype(jnp.float32)
+           @ packfmt.unpack_dequant(p, CFG))
+    err = float(jnp.max(jnp.abs(y[:, :ref.shape[1]].astype(jnp.float32)
+                                - ref))
+                / (float(jnp.max(jnp.abs(ref))) + 1e-9))
+    t = time_op(step, xb, const=wargs)
+    wb = (p.w2.size + p.w4.size + p.meta2.size) * 4 + (
+        p.qscale.size + p.qmin.size) * 2
+    print(f"{mode:>12}: {t*1e6:6.1f} us  ({wb/t/1e9:4.0f} GB/s wt)  "
+          f"err={err:.1e}", flush=True)
+
+
+def main():
+    which = (sys.argv[1].split(",") if len(sys.argv) > 1 else
+             ["prod", "dma", "noscale", "nounpack", "nomxu", "bf16dot",
+              "shiftchain", "kt4"])
+    o, k, b = 4096, 4096, 8
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(o, k).astype(np.float32))
+    p = packfmt.quantize_pack(w, CFG)
+    xb = jnp.asarray(rng.randn(b, k).astype(np.float32))
+    print("backend:", jax.default_backend(), flush=True)
+
+    def prodfn(c, x):
+        return mm.mxq_matmul(x, c, CFG)
+    if "prodref" in which:
+        t = time_op(prodfn, xb, const=p)
+        print(f"production: {t*1e6:.1f} us", flush=True)
+        which.remove("prodref")
+    for mode in which:
+        km = 4 if mode == "kt4" else 2
+        bn = 1024 if mode == "kt4" else 2048
+        bench_variant(p, xb, "prod" if mode == "kt4" else mode,
+                      block_n=bn, kt_mult=km)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,25 +57,28 @@ def bench():
     nl = 8
     cfg = llama.LlamaConfig.llama2_7b(num_hidden_layers=nl)
 
-    def prefill_fn(params, carry):
-        caches = carry["caches"]
-        logits, caches = llama.forward(params, carry["ids"], cfg,
-                                       caches=caches, cache_pos=0)
-        # vary the input so trips aren't cached
-        ids2 = jnp.roll(carry["ids"], 1, axis=1)
-        return dict(ids=ids2, caches=caches)
-
-    for label, params in (
+    import dataclasses as _dc
+    cfg_a8 = _dc.replace(cfg, prefill_act_bits=8)
+    pk = packed_params(cfg, jax.random.PRNGKey(0))
+    for label, params, c in (
         ("bf16", llama.init_params(cfg, jax.random.PRNGKey(0),
-                                   jnp.bfloat16)),
-        ("mxq-packed", packed_params(cfg, jax.random.PRNGKey(0))),
+                                   jnp.bfloat16), cfg),
+        ("mxq-packed", pk, cfg),
+        ("mxq-packed-a8", pk, cfg_a8),
     ):
+        def prefill_c(params, carry, _c=c):
+            caches = carry["caches"]
+            logits, caches = llama.forward(params, carry["ids"], _c,
+                                           caches=caches, cache_pos=0)
+            ids2 = jnp.roll(carry["ids"], 1, axis=1)
+            return dict(ids=ids2, caches=caches)
+
         carry = dict(ids=ids, caches=llama.init_cache(cfg, 1, t_tokens))
-        t = time_op(prefill_fn, carry, reps=2, const=params)
+        t = time_op(prefill_c, carry, reps=2, const=params)
         tok_s = t_tokens / t * nl / 32  # normalized to 32 layers
         print(f"{label}: {t*1e3:.1f} ms for [1,{t_tokens}] at depth {nl} "
               f"-> {tok_s:.0f} tok/s (32L-extrapolated)", flush=True)
-        del params, carry
+        del carry
         jax.clear_caches()
 
 
