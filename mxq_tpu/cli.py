@@ -262,9 +262,10 @@ def cmd_serve(args):
         params = llama.quantize_params_packed(params, cfg)
     e = eng.Engine(params, cfg, eng.EngineConfig(
         num_slots=args.slots, max_len=args.max_len,
-        kv_quant=args.kv_bits < 32))
+        kv_quant=args.kv_bits < 32, prefill_a8=args.prefill_a8))
     rng = np.random.RandomState(0)
-    reqs = [e.submit(rng.randint(0, cfg.vocab_size, size=8).astype(np.int32),
+    reqs = [e.submit(rng.randint(0, cfg.vocab_size,
+                                 size=args.prompt_len).astype(np.int32),
                      max_new_tokens=args.max_new_tokens)
             for _ in range(args.requests)]
     import time
@@ -384,6 +385,8 @@ def main(argv=None):
     p.add_argument("--max_len", type=int, default=512)
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--requests", type=int, default=8)
+    p.add_argument("--prompt_len", type=int, default=8)
+    p.add_argument("--prefill_a8", action="store_true")
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -202,6 +202,43 @@ class Engine:
             self._prefill[bucket] = prefill
         return self._prefill[bucket]
 
+    def _get_prefill_chunk(self, bucket: int):
+        """Continuation-chunk prefill: like _get_prefill but writing at a
+        traced cache offset, so prompts longer than the largest bucket are
+        prefilled in several chunks instead of being clamped (the queries of
+        chunk c attend all previously written rows [0, offset) plus the
+        causal prefix of their own chunk). Uses the einsum attention path
+        (the flash kernel requires a static position-0 start)."""
+        key = ("chunk", bucket)
+        if key not in self._prefill:
+            cfg = self.cfg
+
+            @partial(jax.jit, static_argnames=("slot",), donate_argnums=(1,))
+            def prefill_chunk(params, caches, ids, length, offset,
+                              slot: int):
+                sl = jax.tree_util.tree_map(
+                    lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1),
+                    caches)
+                t = ids.shape[1]
+                s = (sl["k_codes"].shape[3] if "k_codes" in sl
+                     else sl["k"].shape[2])
+                qpos = offset + jnp.arange(t)[:, None]
+                kpos = jnp.arange(s)[None, :]
+                neg = jnp.finfo(jnp.float32).min
+                mask = jnp.where((kpos <= qpos) & (kpos < offset + length),
+                                 0.0, neg)
+                logits, sl = llama.forward(
+                    params, ids, cfg, caches=sl, cache_pos=offset,
+                    mask=mask[None, None])
+                caches = jax.tree_util.tree_map(
+                    lambda c, s: jax.lax.dynamic_update_slice_in_dim(
+                        c, s.astype(c.dtype), slot, axis=1), caches, sl)
+                last = jnp.argmax(logits[0, length - 1], axis=-1)
+                return caches, last.astype(jnp.int32)
+
+            self._prefill[key] = prefill_chunk
+        return self._prefill[key]
+
     # ---- host-side scheduling (C++ scheduler + pipelined dispatch) ----
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
@@ -210,9 +247,11 @@ class Engine:
                       eos_token_id)
         self._uid += 1
         self._reqs[req.uid] = req
-        # Prompts longer than the largest bucket keep the LAST tokens (the
-        # recent tail that conditions generation), never the head.
-        plen = min(len(req.prompt), self.ecfg.prefill_buckets[-1])
+        # Prompts longer than the largest bucket are prefilled in chunks
+        # (see _admit); only prompts that cannot fit the cache at all keep
+        # the LAST max_len-1 tokens (the recent tail that conditions
+        # generation), never the head.
+        plen = min(len(req.prompt), self.ecfg.max_len - 1)
         self._sched.submit(req.uid, plen,
                            max_new_tokens,
                            -1 if eos_token_id is None else eos_token_id)
@@ -222,15 +261,26 @@ class Engine:
         """Admit queued requests into free slots (device prefill per slot)."""
         for slot, uid, plen in self._sched.admit():
             req = self._reqs[uid]
-            bucket = next((bkt for bkt in self.ecfg.prefill_buckets
-                           if bkt >= plen), self.ecfg.prefill_buckets[-1])
-            tail = req.prompt[-bucket:]
+            bmax = self.ecfg.prefill_buckets[-1]
+            tail = req.prompt[-(self.ecfg.max_len - 1):]
             t = len(tail)
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, :t] = tail
-            prefill = self._get_prefill(bucket)
-            self.caches, first = prefill(self.params, self.caches,
-                                         jnp.asarray(ids), t, slot)
+            first = None
+            for off in range(0, t, bmax):
+                sub = tail[off:off + bmax]
+                ts = len(sub)
+                bucket = next((bkt for bkt in self.ecfg.prefill_buckets
+                               if bkt >= ts), bmax)
+                ids = np.zeros((1, bucket), np.int32)
+                ids[0, :ts] = sub
+                if off == 0:
+                    prefill = self._get_prefill(bucket)
+                    self.caches, first = prefill(self.params, self.caches,
+                                                 jnp.asarray(ids), ts, slot)
+                else:
+                    prefill = self._get_prefill_chunk(bucket)
+                    self.caches, first = prefill(
+                        self.params, self.caches, jnp.asarray(ids),
+                        jnp.int32(ts), jnp.int32(off), slot)
             first = int(first)          # blocks: serialized after in-flight
             req.generated = [first]
             self._slot_uid[slot] = uid

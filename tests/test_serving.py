@@ -140,15 +140,49 @@ class TestQuantCacheDecode:
 
 class TestLongPrompt:
     def test_overlong_prompt_keeps_tail(self):
-        """Prompts longer than the largest prefill bucket must keep the LAST
-        bucket tokens (ADVICE r1: head-truncation attended uninit KV rows)."""
+        """Prompts longer than the cache keep the LAST max_len-1 tokens
+        (ADVICE r1: head-truncation attended uninit KV rows)."""
         params = llama.init_params(CFG, jax.random.PRNGKey(0))
         rng = np.random.RandomState(3)
         prompt = rng.randint(1, CFG.vocab_size, size=40).astype(np.int32)
-        n_new = 4
-        ref = greedy_reference(params, CFG, prompt[-16:], n_new)
+        # a max_len-1 tail fills the cache: exactly one decoded token fits,
+        # and it must condition on the TAIL of the prompt
+        ref = greedy_reference(params, CFG, prompt[-31:], 1)
         e = eng.Engine(params, CFG, eng.EngineConfig(
-            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
-        req = e.submit(prompt, max_new_tokens=n_new)
+            num_slots=2, max_len=32, prefill_buckets=(16,), kv_quant=False))
+        req = e.submit(prompt, max_new_tokens=4)
         e.run()
-        assert req.generated[:n_new] == ref
+        assert req.done and req.generated[:1] == ref
+
+    def test_chunked_prefill_matches_single_bucket(self):
+        """Prompts longer than the largest bucket prefill in chunks and must
+        generate exactly what a single big-bucket prefill generates."""
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(4)
+        prompt = rng.randint(1, CFG.vocab_size, size=40).astype(np.int32)
+        n_new = 5
+        ref = greedy_reference(params, CFG, prompt, n_new)
+        for buckets in ((16,), (64,)):
+            e = eng.Engine(params, CFG, eng.EngineConfig(
+                num_slots=2, max_len=128, prefill_buckets=buckets,
+                kv_quant=False))
+            req = e.submit(prompt, max_new_tokens=n_new)
+            e.run()
+            assert req.generated[:n_new] == ref, buckets
+
+    def test_chunked_prefill_quant_kv(self):
+        """Chunked prefill through the int8 KV cache path runs and matches
+        the single-bucket int8 engine."""
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(5)
+        prompt = rng.randint(1, CFG.vocab_size, size=40).astype(np.int32)
+        n_new = 4
+        outs = []
+        for buckets in ((16,), (64,)):
+            e = eng.Engine(params, CFG, eng.EngineConfig(
+                num_slots=2, max_len=128, prefill_buckets=buckets,
+                kv_quant=True))
+            req = e.submit(prompt, max_new_tokens=n_new)
+            e.run()
+            outs.append(list(req.generated[:n_new]))
+        assert outs[0] == outs[1], outs

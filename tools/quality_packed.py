@@ -144,6 +144,16 @@ def main():
             base = ppl
         print(f"{name:<12} {ppl:>10.4f} {ppl / base:>8.4f}", flush=True)
 
+    # A8 execution path: same packed weights, int8-MXU prefill matmuls
+    # (per-token act quant + per-channel weight requant, mxq_matmul A8
+    # section) — measures what serving with prefill_a8 costs in ppl.
+    import dataclasses
+    packed = llama.quantize_params_packed(params, cfg, fuse=False)
+    cfg8 = dataclasses.replace(cfg, prefill_act_bits=8)
+    for name, c in (("packed-exec", cfg), ("packed-a8", cfg8)):
+        ppl = eval_ppl(packed, c, test_toks, seqlen=SEQ, batch=4)
+        print(f"{name:<12} {ppl:>10.4f} {ppl / base:>8.4f}", flush=True)
+
 
 if __name__ == "__main__":
     main()
