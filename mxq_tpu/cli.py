@@ -262,7 +262,10 @@ def cmd_serve(args):
         params = llama.quantize_params_packed(params, cfg)
     e = eng.Engine(params, cfg, eng.EngineConfig(
         num_slots=args.slots, max_len=args.max_len,
-        kv_quant=args.kv_bits < 32, prefill_a8=args.prefill_a8))
+        kv_quant=args.kv_bits < 32, prefill_a8=args.prefill_a8,
+        greedy=args.temperature == 0.0,
+        temperature=args.temperature or 1.0,
+        top_k=args.top_k, top_p=args.top_p, seed=args.seed))
     rng = np.random.RandomState(0)
     reqs = [e.submit(rng.randint(0, cfg.vocab_size,
                                  size=args.prompt_len).astype(np.int32),
@@ -387,6 +390,10 @@ def main(argv=None):
     p.add_argument("--requests", type=int, default=8)
     p.add_argument("--prompt_len", type=int, default=8)
     p.add_argument("--prefill_a8", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="0 = greedy; >0 samples with top_k/top_p")
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -53,7 +53,14 @@ class EngineConfig:
     max_len: int = 2048
     prefill_buckets: tuple = (128, 512, 2048)
     kv_quant: bool = True               # int8 KV cache (kv_bits analogue)
+    # greedy=False samples on-device with the knobs below (the reference's
+    # generation plumbing, modeling_llama_quant.py:911-956 via HF generate);
+    # top_k=1 reduces to greedy exactly.
     greedy: bool = True
+    temperature: float = 1.0
+    top_k: int = 0                      # 0 = no top-k filter
+    top_p: float = 1.0                  # 1.0 = no nucleus filter
+    seed: int = 0
     horizon: int = 8                    # decode steps per device dispatch
     # route prefill matmuls through int8 MXU dots (W~4A8) — ~2x the bf16 MXU
     # rate; the reference's a_bits=8 choice applied to the serving prefill
@@ -142,6 +149,9 @@ class Engine:
         self._admit_gen = np.zeros(b, np.int64)  # bumps on each admission
         self._inflight = None
         self._uid = 0
+        self._chunk_no = 0                       # PRNG stream for sampling
+        self._key_decode, self._key_prefill = jax.random.split(
+            jax.random.PRNGKey(ecfg.seed))
 
         self._decode = jax.jit(self._decode_chunk_impl, donate_argnums=(1,),
                                static_argnames=("horizon",))
@@ -149,9 +159,33 @@ class Engine:
 
     # ---- compiled programs ----
 
+    def _pick(self, logits: jax.Array, key) -> jax.Array:
+        """Next token from [B, V] logits: argmax when greedy, else
+        temperature/top-k/top-p sampling on device."""
+        e = self.ecfg
+        if e.greedy or e.top_k == 1:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lg = logits.astype(jnp.float32) / jnp.maximum(e.temperature, 1e-6)
+        neg = jnp.finfo(jnp.float32).min
+        if e.top_k > 0:
+            kth = jax.lax.top_k(lg, e.top_k)[0][:, -1:]
+            lg = jnp.where(lg < kth, neg, lg)
+        if e.top_p < 1.0:
+            srt = jnp.sort(lg, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(srt, axis=-1)
+            csum = jnp.cumsum(probs, axis=-1)
+            # keep tokens whose prefix mass (exclusive) < top_p
+            keep = (csum - probs) < e.top_p
+            cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                             keepdims=True)
+            lg = jnp.where(lg < cutoff, neg, lg)
+        return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+
     def _decode_chunk_impl(self, params, caches, chained, host_toks,
-                           use_chain, positions, active, horizon: int):
-        """``horizon`` greedy decode steps for all slots in one dispatch.
+                           use_chain, positions, active, key,
+                           horizon: int):
+        """``horizon`` decode steps for all slots in one dispatch (greedy or
+        sampled per EngineConfig).
 
         ``chained`` [B] is the previous chunk's last token (still on device,
         never fetched); ``host_toks`` [B] overrides it where ``use_chain`` is
@@ -165,7 +199,7 @@ class Engine:
             toks, caches = carry
             logits, caches = _forward_multipos(params, toks, cfg, caches,
                                                positions + i)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = self._pick(logits[:, -1], jax.random.fold_in(key, i))
             nxt = jnp.where(active, nxt, 0)
             return (nxt[:, None], caches), nxt
 
@@ -178,7 +212,7 @@ class Engine:
             cfg = self.cfg
 
             @partial(jax.jit, static_argnames=("slot",), donate_argnums=(1,))
-            def prefill(params, caches, ids, length, slot: int):
+            def prefill(params, caches, ids, length, key, slot: int):
                 sl = jax.tree_util.tree_map(
                     lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1),
                     caches)
@@ -196,7 +230,7 @@ class Engine:
                 caches = jax.tree_util.tree_map(
                     lambda c, s: jax.lax.dynamic_update_slice_in_dim(
                         c, s.astype(c.dtype), slot, axis=1), caches, sl)
-                last = jnp.argmax(logits[0, length - 1], axis=-1)
+                last = self._pick(logits[0:1, length - 1], key)[0]
                 return caches, last.astype(jnp.int32)
 
             self._prefill[bucket] = prefill
@@ -214,7 +248,7 @@ class Engine:
             cfg = self.cfg
 
             @partial(jax.jit, static_argnames=("slot",), donate_argnums=(1,))
-            def prefill_chunk(params, caches, ids, length, offset,
+            def prefill_chunk(params, caches, ids, length, offset, key,
                               slot: int):
                 sl = jax.tree_util.tree_map(
                     lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1),
@@ -233,7 +267,7 @@ class Engine:
                 caches = jax.tree_util.tree_map(
                     lambda c, s: jax.lax.dynamic_update_slice_in_dim(
                         c, s.astype(c.dtype), slot, axis=1), caches, sl)
-                last = jnp.argmax(logits[0, length - 1], axis=-1)
+                last = self._pick(logits[0:1, length - 1], key)[0]
                 return caches, last.astype(jnp.int32)
 
             self._prefill[key] = prefill_chunk
@@ -272,15 +306,17 @@ class Engine:
                                if bkt >= ts), bmax)
                 ids = np.zeros((1, bucket), np.int32)
                 ids[0, :ts] = sub
+                pkey = jax.random.fold_in(self._key_prefill, uid)
                 if off == 0:
                     prefill = self._get_prefill(bucket)
                     self.caches, first = prefill(self.params, self.caches,
-                                                 jnp.asarray(ids), ts, slot)
+                                                 jnp.asarray(ids), ts, pkey,
+                                                 slot)
                 else:
                     prefill = self._get_prefill_chunk(bucket)
                     self.caches, first = prefill(
                         self.params, self.caches, jnp.asarray(ids),
-                        jnp.int32(ts), jnp.int32(off), slot)
+                        jnp.int32(ts), jnp.int32(off), pkey, slot)
             first = int(first)          # blocks: serialized after in-flight
             req.generated = [first]
             self._slot_uid[slot] = uid
@@ -313,10 +349,12 @@ class Engine:
         # NOTE: jnp.asarray can alias host numpy buffers (zero-copy), and the
         # host mutates _pos/_last_tok right after this async dispatch — pass
         # copies or the in-flight chunk races with host bookkeeping.
+        key = jax.random.fold_in(self._key_decode, self._chunk_no)
+        self._chunk_no += 1
         toks, self.caches = self._decode(
             self.params, self.caches, chained,
             jnp.array(self._last_tok), jnp.array(use_chain),
-            jnp.array(self._pos), jnp.array(active), horizon=horizon)
+            jnp.array(self._pos), jnp.array(active), key, horizon=horizon)
         snap = dict(toks=toks, active=active, gen=self._admit_gen.copy(),
                     uids=list(self._slot_uid), horizon=horizon)
         self._pos[active] += horizon

@@ -138,6 +138,48 @@ class TestQuantCacheDecode:
         assert quant_bytes < dense_bytes / 3  # int8 vs f32 here
 
 
+class TestSampling:
+    def _engine(self, params, **kw):
+        base = dict(num_slots=2, max_len=64, prefill_buckets=(16,),
+                    kv_quant=False)
+        base.update(kw)
+        return eng.Engine(params, CFG, eng.EngineConfig(**base))
+
+    def test_top_k1_equals_greedy(self):
+        """top_k=1 sampling must reduce to greedy exactly, any temperature."""
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.arange(1, 9, dtype=np.int32)
+        ref = greedy_reference(params, CFG, prompt, 6)
+        e = self._engine(params, greedy=False, temperature=0.9, top_k=1)
+        req = e.submit(prompt, max_new_tokens=6)
+        e.run()
+        assert req.generated[:6] == ref
+
+    def test_sampling_deterministic_per_seed(self):
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.arange(1, 9, dtype=np.int32)
+        outs = []
+        for seed in (7, 7, 8):
+            e = self._engine(params, greedy=False, temperature=1.0,
+                             top_k=50, seed=seed)
+            req = e.submit(prompt, max_new_tokens=8)
+            e.run()
+            outs.append(list(req.generated[:8]))
+        assert outs[0] == outs[1]           # same seed -> same stream
+        assert len(outs[2]) == 8            # different seed still completes
+
+    def test_top_p_masks_tail(self):
+        """With a tiny top_p every sampled token must be the argmax (the
+        nucleus keeps at least the top token)."""
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.arange(1, 9, dtype=np.int32)
+        ref = greedy_reference(params, CFG, prompt, 5)
+        e = self._engine(params, greedy=False, temperature=1.0, top_p=1e-9)
+        req = e.submit(prompt, max_new_tokens=5)
+        e.run()
+        assert req.generated[:5] == ref
+
+
 class TestLongPrompt:
     def test_overlong_prompt_keeps_tail(self):
         """Prompts longer than the cache keep the LAST max_len-1 tokens

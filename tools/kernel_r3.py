@@ -345,9 +345,9 @@ STRUCT_KERNELS = {"bfexp": (kernel_bfexp, permute_x2_pair, permute_x4_pair),
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "block_n",
-                                             "kt_mult", "mode"))
+                                             "kt_mult", "mode", "interpret"))
 def run_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
-               *, block_b, block_n, kt_mult, mode):
+               *, block_b, block_n, kt_mult, mode, interpret=False):
     b = x2.shape[1]
     nbp, n = meta2.shape
     n_kt = nbp // NB_TILE // kt_mult
@@ -385,6 +385,7 @@ def run_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32)],
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row)
