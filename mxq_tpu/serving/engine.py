@@ -68,6 +68,30 @@ class EngineConfig:
     prefill_a8: bool = False
 
 
+def sample_token(logits: jax.Array, key, greedy: bool, temperature: float,
+                 top_k: int, top_p: float) -> jax.Array:
+    """Next token from [B, V] logits: argmax when greedy, else
+    temperature/top-k/top-p sampling on device (shared by Engine and
+    PagedEngine). The filter knobs are trace-time constants."""
+    if greedy or top_k == 1:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lg = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    neg = jnp.finfo(jnp.float32).min
+    if top_k > 0:
+        kth = jax.lax.top_k(lg, top_k)[0][:, -1:]
+        lg = jnp.where(lg < kth, neg, lg)
+    if top_p < 1.0:
+        srt = jnp.sort(lg, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        # keep tokens whose prefix mass (exclusive) < top_p
+        keep = (csum - probs) < top_p
+        cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                         keepdims=True)
+        lg = jnp.where(lg < cutoff, neg, lg)
+    return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+
+
 class _PyScheduler:
     """Python fallback with the exact semantics of the C++ scheduler
     (runtime/csrc/mxq_runtime.cc): slot admission, per-token retirement on
@@ -160,26 +184,9 @@ class Engine:
     # ---- compiled programs ----
 
     def _pick(self, logits: jax.Array, key) -> jax.Array:
-        """Next token from [B, V] logits: argmax when greedy, else
-        temperature/top-k/top-p sampling on device."""
         e = self.ecfg
-        if e.greedy or e.top_k == 1:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        lg = logits.astype(jnp.float32) / jnp.maximum(e.temperature, 1e-6)
-        neg = jnp.finfo(jnp.float32).min
-        if e.top_k > 0:
-            kth = jax.lax.top_k(lg, e.top_k)[0][:, -1:]
-            lg = jnp.where(lg < kth, neg, lg)
-        if e.top_p < 1.0:
-            srt = jnp.sort(lg, axis=-1)[:, ::-1]
-            probs = jax.nn.softmax(srt, axis=-1)
-            csum = jnp.cumsum(probs, axis=-1)
-            # keep tokens whose prefix mass (exclusive) < top_p
-            keep = (csum - probs) < e.top_p
-            cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
-                             keepdims=True)
-            lg = jnp.where(lg < cutoff, neg, lg)
-        return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+        return sample_token(logits, key, e.greedy, e.temperature, e.top_k,
+                            e.top_p)
 
     def _decode_chunk_impl(self, params, caches, chained, host_toks,
                            use_chain, positions, active, key,

@@ -222,18 +222,22 @@ def _paged_decode_one(params, k_pages, v_pages, tokens, positions, lengths,
     return logits[:, 0].astype(jnp.float32), k_pages, v_pages
 
 
-@partial(jax.jit, static_argnames=("cfg", "horizon"), donate_argnums=(1, 2))
+@partial(jax.jit, static_argnames=("cfg", "horizon", "sample"),
+         donate_argnums=(1, 2))
 def paged_decode_chunk(params, k_pages, v_pages, chained, host_toks,
-                       use_chain, positions, active, page_tables,
-                       cfg: llama.LlamaConfig, horizon: int):
-    """``horizon`` greedy decode steps against the paged pool in one
-    dispatch (the paged analogue of Engine._decode_chunk_impl): page ids and
+                       use_chain, positions, active, page_tables, key,
+                       cfg: llama.LlamaConfig, horizon: int,
+                       sample: tuple = (True, 1.0, 0, 1.0)):
+    """``horizon`` decode steps against the paged pool in one dispatch
+    (the paged analogue of Engine._decode_chunk_impl): page ids and
     offsets for each substep are computed IN-GRAPH from the advancing
     positions and the device-resident page table, so the host neither
     precomputes them nor fetches between steps. Input tokens chain from the
     previous chunk's on-device output (``chained``) except where
     ``use_chain`` is False (freshly admitted slots). The caller must have
-    pre-allocated pages covering positions + horizon."""
+    pre-allocated pages covering positions + horizon. ``sample`` =
+    (greedy, temperature, top_k, top_p) trace-time constants."""
+    from mxq_tpu.serving.engine import sample_token
     b = chained.shape[0]
     ps = k_pages.shape[3]
     rows = jnp.arange(b)
@@ -248,7 +252,7 @@ def paged_decode_chunk(params, k_pages, v_pages, chained, host_toks,
         logits, k_pages, v_pages = _paged_decode_one(
             params, k_pages, v_pages, toks, pos, lengths, page_tables,
             page_ids, offsets, cfg)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = sample_token(logits, jax.random.fold_in(key, i), *sample)
         nxt = jnp.where(active, nxt, 0)
         return (nxt[:, None], k_pages, v_pages), nxt
 
@@ -297,9 +301,14 @@ class PagedEngine:
     def __init__(self, params, cfg: llama.LlamaConfig, num_slots: int = 8,
                  total_pages: int = 512, page_size: int = 64,
                  max_len: int = 2048, prefill_bucket: int = 128,
-                 horizon: int = 8):
+                 horizon: int = 8, greedy: bool = True,
+                 temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 1.0, seed: int = 0):
         self.params = params
         self.cfg = cfg
+        self.sample = (greedy, temperature, top_k, top_p)
+        self._key = jax.random.PRNGKey(seed)
+        self._chunk_no = 0
         self.pool = PagedPool.create(cfg, num_slots, total_pages, page_size,
                                      max_len)
         self.num_slots = num_slots
@@ -378,11 +387,14 @@ class PagedEngine:
             chained = jnp.zeros((b,), jnp.int32)
             use_chain = np.zeros(b, bool)
         positions = self.pool.lengths.astype(np.int32)
+        key = jax.random.fold_in(self._key, self._chunk_no)
+        self._chunk_no += 1
         toks, self.pool.k_pages, self.pool.v_pages = paged_decode_chunk(
             self.params, self.pool.k_pages, self.pool.v_pages, chained,
             jnp.array(self._last_tok), jnp.array(use_chain),
             jnp.array(positions), jnp.array(active),
-            jnp.array(self.pool.page_tables), self.cfg, horizon)
+            jnp.array(self.pool.page_tables), key, self.cfg, horizon,
+            sample=self.sample)
         snap = dict(toks=toks, active=active, gen=self._admit_gen.copy(),
                     reqs=list(self.slot_req), horizon=horizon)
         for s in np.where(active)[0]:

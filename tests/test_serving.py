@@ -168,6 +168,18 @@ class TestSampling:
         assert outs[0] == outs[1]           # same seed -> same stream
         assert len(outs[2]) == 8            # different seed still completes
 
+    def test_paged_sampling_top_k1_equals_greedy(self):
+        from mxq_tpu.serving.paged import PagedEngine
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.arange(1, 9, dtype=np.int32)
+        ref = greedy_reference(params, CFG, prompt, 5)
+        pe = PagedEngine(params, CFG, num_slots=2, total_pages=16,
+                         page_size=16, max_len=64, prefill_bucket=16,
+                         horizon=4, greedy=False, temperature=0.8, top_k=1)
+        req = pe.submit(prompt, max_new_tokens=5)
+        pe.run()
+        assert req.generated[:5] == ref
+
     def test_top_p_masks_tail(self):
         """With a tiny top_p every sampled token must be the argmax (the
         nucleus keeps at least the top token)."""
