@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from mxq_tpu.config import MXQConfig, DEFAULT_SCHEME
 from mxq_tpu import packfmt
 from mxq_tpu.packfmt import PackedMXQLinear, NB_TILE, N_LANE, SCALE_CODE_BITS
@@ -34,12 +36,22 @@ W4_ROWS = NB_TILE * 2        # 32 int32 rows -> 256 4b codes
 K2T = W2_ROWS * 16
 K4T = W4_ROWS * 8
 
+# GEMV unpack layout: "slab" = one shift+and per 2-bit slab ([48, N] tiles,
+# 16 iterations); "quad" = one shift+and per FOUR slabs via
+# (w >> 2j) & 0x03030303 and a pltpu.bitcast int32->int8 (byte b of word r
+# lands on sublane 4r+b), amortizing the extraction to 0.5 VPU ops/weight.
+# Both are bit-exact vs the reference dequant (tests/test_mxq_matmul.py);
+# the default is whichever measured faster on-device (tools/kernel_r3.py).
+GEMV_LAYOUT = os.environ.get("MXQ_GEMV_LAYOUT", "slab")
+
 
 def _kernel(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
-            s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, n_kt, kt_mult):
-    _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
-                 s4_ref[:], z4_ref[:], out_ref, acc_ref, out_dtype=out_dtype,
-                 kt_mult=kt_mult)
+            s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, n_kt, kt_mult,
+            layout):
+    body = _kernel_body if layout == "slab" else _kernel_body_quad
+    body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+         s4_ref[:], z4_ref[:], out_ref, acc_ref, out_dtype=out_dtype,
+         kt_mult=kt_mult)
 
 
 def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
@@ -138,6 +150,96 @@ def permute_x4(x4: jax.Array, n_kt: int) -> jax.Array:
     return x4.reshape(b, n_kt, W4_ROWS, 8).swapaxes(-1, -2).reshape(b, -1)
 
 
+def _kernel_body_quad(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref,
+                      qm_ref, s4, z4, out_ref, acc_ref, *, out_dtype,
+                      kt_mult=1):
+    """Byte-quad unpack: (w >> 2j) & 0x03030303 extracts FOUR slabs per
+    shift+and; pltpu.bitcast int32->int8 lands byte b of word r on sublane
+    4r+b (matching permute_x2_quad's activation order), then one
+    int8->f32 convert + one f32 scale-mul cover all four slabs — ~2.75 VPU
+    ops/weight vs the slab body's 4. Zero correction stays factored."""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    dn = (((0,), (0,)), ((), ()))
+    sz4 = s4 * z4
+    for m in range(kt_mult):
+        meta = meta_ref[pl.ds(m * NB_TILE, NB_TILE), :]
+        qs = qs_ref[pl.ds(m * NB_TILE, NB_TILE), :].astype(jnp.float32)
+        qm = qm_ref[pl.ds(m * NB_TILE, NB_TILE), :].astype(jnp.float32)
+        s_parts, z_parts = [], []
+        for i in range(3):
+            zc_i = jax.lax.shift_right_logical(meta, 2 * i) & 0x3
+            sc_i = (jax.lax.shift_right_logical(meta, 6 + SCALE_CODE_BITS * i)
+                    & ((1 << SCALE_CODE_BITS) - 1))
+            s_parts.append(qs * sc_i.astype(jnp.float32) + qm)
+            z_parts.append(zc_i)
+        s_eff = jnp.concatenate(s_parts, axis=0)
+        zc = jnp.concatenate(z_parts, axis=0).astype(jnp.float32)
+        s192 = jnp.repeat(s_eff, 4, axis=0)
+        n192 = jnp.repeat(s_eff * zc, 4, axis=0)
+
+        w2 = w2_ref[pl.ds(m * W2_ROWS, W2_ROWS), :]
+        xsum = None
+        for j in range(4):
+            t = jax.lax.shift_right_logical(w2, 2 * j) & 0x03030303
+            c8 = pltpu.bitcast(t, jnp.int8)            # [192, NL]
+            w_j = s192 * c8.astype(jnp.float32)
+            xs = x2_ref[pl.ds((m * 4 + j) * 4 * W2_ROWS, 4 * W2_ROWS), :]
+            xsf = xs.astype(jnp.float32)
+            xsum = xsf if xsum is None else xsum + xsf
+            acc_ref[:] += jax.lax.dot_general(
+                xsf, w_j, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            xsum, -n192, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+
+        w4 = w4_ref[pl.ds(m * W4_ROWS, W4_ROWS), :]
+        xsum = None
+        for j in range(2):
+            t = jax.lax.shift_right_logical(w4, 4 * j) & 0x0F0F0F0F
+            c8 = pltpu.bitcast(t, jnp.int8)            # [128, NL]
+            w_j = s4 * c8.astype(jnp.float32)
+            xs = x4_ref[pl.ds((m * 2 + j) * 4 * W4_ROWS, 4 * W4_ROWS), :]
+            xsf = xs.astype(jnp.float32)
+            xsum = xsf if xsum is None else xsum + xsf
+            acc_ref[:] += jax.lax.dot_general(
+                xsf, w_j, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            xsum, -jnp.broadcast_to(sz4, (4 * W4_ROWS, sz4.shape[1])),
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def permute_x2_quad(x2: jax.Array, n_kt: int) -> jax.Array:
+    """Byte-quad activation order: row j*192 + 4r + b <- column 16r + j + 4b
+    (j in [0,4), r in [0,48), b in [0,4)) — matches the int8-bitcast sublane
+    expansion (byte b of word r -> row 4r + b)."""
+    b = x2.shape[0]
+    return (x2.reshape(b, n_kt, W2_ROWS, 4, 4).transpose(0, 1, 4, 2, 3)
+            .reshape(b, -1))
+
+
+def permute_x4_quad(x4: jax.Array, n_kt: int) -> jax.Array:
+    """4-bit plane quad order: row j*128 + 4r + b <- column 8r + j + 2b."""
+    b = x4.shape[0]
+    return (x4.reshape(b, n_kt, W4_ROWS, 4, 2).transpose(0, 1, 4, 2, 3)
+            .reshape(b, -1))
+
+
+def _permutes(layout: str):
+    return ((permute_x2, permute_x4) if layout == "slab"
+            else (permute_x2_quad, permute_x4_quad))
+
+
 def _pick_kt_mult(n_kt: int) -> int:
     """k-tiles per grid step: 2 when the k extent allows it (fewer, fatter
     pipeline stages measured ~5-8% faster on the 4096^2 B=8 GEMV,
@@ -146,9 +248,10 @@ def _pick_kt_mult(n_kt: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "block_n", "interpret",
-                                             "out_dtype"))
+                                             "out_dtype", "layout"))
 def _mxq_matmul_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
-                       *, block_b, block_n, interpret, out_dtype):
+                       *, block_b, block_n, interpret, out_dtype,
+                       layout="slab"):
     b = x2.shape[1]
     nbp, n = meta2.shape
     n_kt = nbp // NB_TILE
@@ -156,7 +259,7 @@ def _mxq_matmul_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
     grid = (b // block_b, n // block_n, n_kt // km)
 
     kernel = functools.partial(_kernel, out_dtype=out_dtype, n_kt=n_kt,
-                               kt_mult=km)
+                               kt_mult=km, layout=layout)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -213,7 +316,8 @@ def _auto_block_n(n: int) -> int:
 def mxq_matmul(x: jax.Array, p: PackedMXQLinear,
                cfg: MXQConfig = DEFAULT_SCHEME,
                block_b: int = 128, block_n: int | None = None,
-               interpret: bool | None = None) -> jax.Array:
+               interpret: bool | None = None,
+               layout: str | None = None) -> jax.Array:
     """y = x @ dequant(p): fused packed dequant-matmul.
 
     ``x``: [..., K] activations (any float dtype; computed in bf16 on the MXU
@@ -221,6 +325,8 @@ def mxq_matmul(x: jax.Array, p: PackedMXQLinear,
     """
     if interpret is None:
         interpret = _on_cpu()
+    if layout is None:
+        layout = GEMV_LAYOUT
     if block_n is None:
         block_n = _auto_block_n(p.n_padded)
     lead = x.shape[:-1]
@@ -231,14 +337,15 @@ def mxq_matmul(x: jax.Array, p: PackedMXQLinear,
     xb = jnp.pad(xb, ((0, bp - b), (0, 0)))
     x2, x4 = packfmt.pad_inputs_split(xb, p, cfg)
     n_kt = p.nbp // NB_TILE
-    x2 = permute_x2(x2, n_kt).T            # [K2P, B] for sublane slab slices
-    x4 = permute_x4(x4, n_kt).T
+    px2, px4 = _permutes(layout)
+    x2 = px2(x2, n_kt).T               # [K2P, B] for sublane slab slices
+    x4 = px4(x4, n_kt).T
     y = _mxq_matmul_padded(
         x2.astype(jnp.bfloat16), x4.astype(jnp.bfloat16),
         p.w2, p.w4, p.meta2, p.qscale, p.qmin,
         p.smeta4[0:1], p.smeta4[1:2],
         block_b=bb, block_n=block_n, interpret=interpret,
-        out_dtype=jnp.float32)
+        out_dtype=jnp.float32, layout=layout)
     return y[:b, : p.out_features].astype(x.dtype).reshape(lead + (p.out_features,))
 
 
@@ -531,17 +638,17 @@ def mxq_matmul_prefill_a8(x: jax.Array, p, layer_idx=None,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_b", "block_n", "interpret",
-                                    "out_dtype", "n_kt"))
+                                    "out_dtype", "n_kt", "layout"))
 def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
                                smeta4, *, block_b, block_n, interpret,
-                               out_dtype, n_kt):
+                               out_dtype, n_kt, layout="slab"):
     b = x2.shape[1]
     n = meta2.shape[1]
     km = _pick_kt_mult(n_kt)
     n_blk = n_kt // km
     grid = (b // block_b, n // block_n, n_blk)
     kernel = functools.partial(_stacked_kernel, out_dtype=out_dtype,
-                               n_kt=n_kt, kt_mult=km)
+                               n_kt=n_kt, kt_mult=km, layout=layout)
 
     def wspec(rows):
         # scalar-prefetch refs arrive AFTER the grid indices; block index is
@@ -584,22 +691,26 @@ def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
 
 def _stacked_kernel(idx_ref, x2_ref, x4_ref, w2_ref, w4_ref, meta_ref,
                     qs_ref, qm_ref, sm_ref, out_ref, acc_ref, *, out_dtype,
-                    n_kt, kt_mult):
+                    n_kt, kt_mult, layout="slab"):
     del idx_ref  # consumed by the index maps
     sm = sm_ref[:]                  # [8, NL]: row 0 = 4b scale, row 1 = zero
-    _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
-                 sm[0:1, :], sm[1:2, :], out_ref, acc_ref,
-                 out_dtype=out_dtype, kt_mult=kt_mult)
+    body = _kernel_body if layout == "slab" else _kernel_body_quad
+    body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+         sm[0:1, :], sm[1:2, :], out_ref, acc_ref,
+         out_dtype=out_dtype, kt_mult=kt_mult)
 
 
 def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
                        cfg: MXQConfig = DEFAULT_SCHEME,
                        block_b: int = 128, block_n: int | None = None,
-                       interpret: bool | None = None) -> jax.Array:
+                       interpret: bool | None = None,
+                       layout: str | None = None) -> jax.Array:
     """y = x @ dequant(p[layer_idx]) where ``p`` holds stacked [L, ...]
     leaves. ``layer_idx`` may be a traced scalar (scan carry)."""
     if interpret is None:
         interpret = _on_cpu()
+    if layout is None:
+        layout = GEMV_LAYOUT
     if block_n is None:
         block_n = _auto_block_n(p.meta2.shape[-1])
     lead = x.shape[:-1]
@@ -624,12 +735,13 @@ def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
         qmin=p.qmin[0], smeta4=p.smeta4[0],
         in_features=p.in_features, out_features=p.out_features)
     x2, x4 = packfmt.pad_inputs_split(xb, geom, cfg)
-    x2 = permute_x2(x2, n_kt).T            # [K2P, B]
-    x4 = permute_x4(x4, n_kt).T
+    px2, px4 = _permutes(layout)
+    x2 = px2(x2, n_kt).T                   # [K2P, B]
+    x4 = px4(x4, n_kt).T
     y = _mxq_matmul_stacked_padded(
         layer_idx, x2.astype(jnp.bfloat16), x4.astype(jnp.bfloat16),
         single.w2, single.w4, single.meta2, single.qscale, single.qmin,
         single.smeta4, block_b=bb, block_n=block_n, interpret=interpret,
-        out_dtype=jnp.float32, n_kt=n_kt)
+        out_dtype=jnp.float32, n_kt=n_kt, layout=layout)
     return y[:b, : p.out_features].astype(x.dtype).reshape(
         lead + (p.out_features,))

@@ -12,19 +12,32 @@ from mxq_tpu.ops import mxq_matmul as mm
 CFG = MXQConfig()
 
 
+@pytest.mark.parametrize("layout", ["slab", "quad"])
 @pytest.mark.parametrize("b,o,k", [(1, 256, 1024), (8, 256, 1024),
                                    (16, 512, 2048), (5, 100, 2112)])
-def test_matches_reference_dequant(b, o, k):
+def test_matches_reference_dequant(b, o, k, layout):
     w = jax.random.normal(jax.random.PRNGKey(0), (o, k), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, k), jnp.float32)
     p = packfmt.quantize_pack(w, CFG)
-    y = mm.mxq_matmul(x, p, CFG)
+    y = mm.mxq_matmul(x, p, CFG, layout=layout)
     # kernel computes with f32 dequantized weights and bf16-rounded x
     y_ref = (x.astype(jnp.bfloat16).astype(jnp.float32)
              @ packfmt.unpack_dequant(p, CFG))
     assert y.shape == (b, o)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-2, atol=2e-1)
+
+
+def test_stacked_quad_layout_matches_slab():
+    l, o, k, b = 2, 256, 2048, 8
+    ws = jax.random.normal(jax.random.PRNGKey(20), (l, o, k), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(21), (b, k), jnp.float32)
+    ps = jax.vmap(lambda w: packfmt.quantize_pack(w, CFG))(ws)
+    for i in range(l):
+        ys = mm.mxq_matmul_stacked(x, ps, jnp.int32(i), CFG, layout="slab")
+        yq = mm.mxq_matmul_stacked(x, ps, jnp.int32(i), CFG, layout="quad")
+        np.testing.assert_allclose(np.asarray(yq), np.asarray(ys),
+                                   rtol=1e-4, atol=1e-3)
 
 
 def test_3d_input():
