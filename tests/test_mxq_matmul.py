@@ -28,6 +28,20 @@ def test_matches_reference_dequant(b, o, k, layout):
                                rtol=2e-2, atol=2e-1)
 
 
+@pytest.mark.parametrize("b,o,k", [(8, 256, 1024), (5, 100, 2112)])
+def test_bfexp_layout_close(b, o, k):
+    """bf16 exponent-injection layout: correct to bf16 multiply-sub
+    precision (~2.5% max rel err, quality cost quantified separately)."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (o, k), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, k), jnp.float32)
+    p = packfmt.quantize_pack(w, CFG)
+    y = mm.mxq_matmul(x, p, CFG, layout="bfexp")
+    y_ref = (x.astype(jnp.bfloat16).astype(jnp.float32)
+             @ packfmt.unpack_dequant(p, CFG))
+    rel = float(jnp.max(jnp.abs(y - y_ref)) / jnp.max(jnp.abs(y_ref)))
+    assert rel < 0.05, rel
+
+
 def test_stacked_quad_layout_matches_slab():
     l, o, k, b = 2, 256, 2048, 8
     ws = jax.random.normal(jax.random.PRNGKey(20), (l, o, k), jnp.float32)

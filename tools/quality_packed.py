@@ -154,6 +154,22 @@ def main():
         ppl = eval_ppl(packed, c, test_toks, seqlen=SEQ, batch=4)
         print(f"{name:<12} {ppl:>10.4f} {ppl / base:>8.4f}", flush=True)
 
+    # GEMV-path (decode) quality per unpack layout: batch=1 keeps every
+    # matmul under the 512-token prefill threshold, so the fused GEMV kernel
+    # runs with the selected layout (slab/quad are exact; bfexp trades bf16
+    # multiply-sub precision for fewer VPU ops).
+    from mxq_tpu.ops import mxq_matmul as mmod
+    saved_layout = mmod.GEMV_LAYOUT
+    try:
+        for layout in ("slab", "quad", "bfexp"):
+            mmod.GEMV_LAYOUT = layout
+            ppl = eval_ppl(packed, cfg, test_toks[:8192], seqlen=SEQ,
+                           batch=1)
+            print(f"gemv-{layout:<7} {ppl:>10.4f} {ppl / base:>8.4f}",
+                  flush=True)
+    finally:
+        mmod.GEMV_LAYOUT = saved_layout
+
 
 if __name__ == "__main__":
     main()
