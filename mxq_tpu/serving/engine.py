@@ -174,6 +174,7 @@ class Engine:
         self._inflight = None
         self._uid = 0
         self._chunk_no = 0                       # PRNG stream for sampling
+        self._pending_first = {}                 # slot -> device first token
         self._key_decode, self._key_prefill = jax.random.split(
             jax.random.PRNGKey(ecfg.seed))
 
@@ -317,23 +318,36 @@ class Engine:
                 if off == 0:
                     prefill = self._get_prefill(bucket)
                     self.caches, first = prefill(self.params, self.caches,
-                                                 jnp.asarray(ids), ts, pkey,
+                                                 jnp.array(ids), ts, pkey,
                                                  slot)
                 else:
                     prefill = self._get_prefill_chunk(bucket)
                     self.caches, first = prefill(
-                        self.params, self.caches, jnp.asarray(ids),
+                        self.params, self.caches, jnp.array(ids),
                         jnp.int32(ts), jnp.int32(off), pkey, slot)
-            first = int(first)          # blocks: serialized after in-flight
-            req.generated = [first]
+            # DEFERRED first-token fetch: the prefill result stays on device
+            # and chains into the next decode chunk via the patched host_toks
+            # vector (_dispatch); the host fetches it in _flush_pending_first
+            # AFTER the chunk is dispatched, so the prefill->host RTT
+            # overlaps the chunk's device time instead of stalling the
+            # pipeline once per admission.
+            #
+            # CPU-backend exception: jax's CPU runtime exhibits a rare
+            # async-execution race when a cache buffer donated to the prefill
+            # is immediately re-donated to the next decode chunk without any
+            # host sync (~30% of runs decode against the pre-prefill cache;
+            # reproduced in tests/test_serving.py
+            # ::test_continuous_batching_multiple_requests and isolated by
+            # removing donate_argnums — the TPU runtime's donated decode->
+            # decode chains never showed this in rounds 1-2). Synchronize on
+            # CPU; keep the overlap on TPU where it pays.
+            if jax.default_backend() == "cpu":
+                first.block_until_ready()
+            self._pending_first[slot] = first
+            req.generated = []
             self._slot_uid[slot] = uid
             self._pos[slot] = t
-            self._last_tok[slot] = first
             self._admit_gen[slot] += 1
-            if self._sched.on_token(slot, first):
-                req.done = True
-                finished.append(req)
-                self._slot_uid[slot] = None
 
     def _active_mask(self) -> np.ndarray:
         return np.array([u is not None for u in self._slot_uid])
@@ -358,22 +372,45 @@ class Engine:
         # copies or the in-flight chunk races with host bookkeeping.
         key = jax.random.fold_in(self._key_decode, self._chunk_no)
         self._chunk_no += 1
+        host_toks = jnp.array(self._last_tok)
+        for s, fd in self._pending_first.items():
+            if self._slot_uid[s] is not None:
+                host_toks = host_toks.at[s].set(fd)   # device, no fetch
         toks, self.caches = self._decode(
             self.params, self.caches, chained,
-            jnp.array(self._last_tok), jnp.array(use_chain),
+            host_toks, jnp.array(use_chain),
             jnp.array(self._pos), jnp.array(active), key, horizon=horizon)
         snap = dict(toks=toks, active=active, gen=self._admit_gen.copy(),
                     uids=list(self._slot_uid), horizon=horizon)
         self._pos[active] += horizon
         return snap
 
+    def _flush_pending_first(self, finished: list) -> None:
+        """Fetch deferred prefill first-tokens and run their bookkeeping
+        (must happen BEFORE the chunk tokens of the same slots are
+        processed; the fetch overlaps the chunk's device compute)."""
+        for s in list(self._pending_first):
+            fd = self._pending_first.pop(s)
+            uid = self._slot_uid[s]
+            if uid is None:
+                continue
+            first = int(fd)
+            req = self._reqs[uid]
+            req.generated.append(first)
+            self._last_tok[s] = first
+            if self._sched.on_token(s, first):
+                req.done = True
+                finished.append(req)
+                self._slot_uid[s] = None
+
     def _process_inflight(self) -> list[Request]:
         """Fetch the in-flight chunk's tokens and run retire/admit
         bookkeeping through the scheduler."""
         fl = self._inflight
         self._inflight = None
-        toks = np.asarray(fl["toks"])           # [horizon, B]; blocks
         finished: list[Request] = []
+        self._flush_pending_first(finished)
+        toks = np.asarray(fl["toks"])           # [horizon, B]; blocks
         retired = set()
         for i in range(fl["horizon"]):
             for s in np.where(fl["active"])[0]:
