@@ -95,9 +95,48 @@ def bench_decode(cfg, params):
     return t
 
 
+def autotune_layout(key):
+    """Time each GEMV unpack layout on a decode-critical shape and return
+    (winner_among_exact, all_times). The headline layout is the fastest
+    EXACT layout (slab/quad, both bit-consistent with the reference
+    dequant); bfexp (bf16 multiply-sub precision, measured ppl-neutral —
+    docs/RESULTS.md) is timed and reported as available upside."""
+    from mxq_tpu.ops import mxq_matmul as mm
+    k = 4096
+    p = random_packed_linear(key, k, 11008)
+    xb = jnp.ones((BATCH, k), jnp.bfloat16)
+
+    def back_to_x(y):
+        # fold [b, o] back to an x-shaped carry CONSUMING every column (a
+        # plain slice lets XLA dead-code-eliminate part of the matmul)
+        o_ = y.shape[1]
+        pad_to = -(-o_ // k) * k
+        folded = jnp.pad(y, ((0, 0), (0, pad_to - o_))).reshape(
+            y.shape[0], pad_to // k, k).sum(axis=1)
+        return (folded * 1e-6).astype(jnp.bfloat16)
+
+    times = {}
+    for layout in ("slab", "quad", "bfexp"):
+        def stepl(c, x, _l=layout):
+            return back_to_x(mm.mxq_matmul(x, c, layout=_l))
+        try:
+            times[layout] = time_op(stepl, xb, const=p)
+        except Exception as e:  # noqa: BLE001 — a layout that fails to
+            # compile on this backend just drops out of the tuning
+            times[layout] = float("inf")
+            times[layout + "_error"] = f"{type(e).__name__}: {e}"[:120]
+    del p, xb
+    jax.clear_caches()
+    winner = min(("slab", "quad"), key=lambda l: times[l])
+    return winner, times
+
+
 def main(_retry=True):
     try:
         key = jax.random.PRNGKey(0)
+        from mxq_tpu.ops import mxq_matmul as mm
+        layout, layout_times = autotune_layout(key)
+        mm.GEMV_LAYOUT = layout
 
         # bf16 dense baseline at reduced depth, extrapolated to 32 layers.
         t_dense = {}
@@ -123,6 +162,11 @@ def main(_retry=True):
             "vs_baseline": round(speedup, 3),
             "detail": {
                 "batch": BATCH,
+                "gemv_layout": layout,
+                "layout_us_11008x4096_b8": {
+                    k: (round(v * 1e6, 1) if isinstance(v, float)
+                        and v != float("inf") else v)
+                    for k, v in layout_times.items()},
                 "t_step_mxq_ms": round(t_mxq * 1e3, 3),
                 "t_step_bf16_32L_extrapolated_ms": round(t_bf16_32 * 1e3, 3),
                 "bf16_depths_measured": {str(k): round(v * 1e3, 3)

@@ -138,6 +138,33 @@ class TestQuantCacheDecode:
         assert quant_bytes < dense_bytes / 3  # int8 vs f32 here
 
 
+class TestEngineSoak:
+    def test_random_workload_matches_greedy(self):
+        """Soak: a stream of random-length requests through 2 slots must
+        reproduce the no-cache greedy reference exactly for every request
+        (exercises admission/retirement interleavings, chunked prefill, and
+        the deferred first-token path under many slot-reuse patterns)."""
+        params = llama.init_params(CFG, jax.random.PRNGKey(2))
+        rng = np.random.RandomState(11)
+        specs = [(rng.randint(2, 40), rng.randint(1, 7)) for _ in range(10)]
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False,
+            horizon=4))
+        reqs = []
+        for plen, n_new in specs:
+            prompt = rng.randint(1, CFG.vocab_size, size=plen).astype(
+                np.int32)
+            reqs.append((e.submit(prompt, max_new_tokens=n_new), prompt,
+                         n_new))
+        done = e.run()
+        assert len(done) == len(specs)
+        for req, prompt, n_new in reqs:
+            cap = 63 - min(len(prompt), 63)  # free cache rows after prefill
+            want = min(n_new, max(cap, 1))
+            ref = greedy_reference(params, CFG, prompt[-63:], want)
+            assert req.generated[:want] == ref, (len(prompt), n_new)
+
+
 class TestSampling:
     def _engine(self, params, **kw):
         base = dict(num_slots=2, max_len=64, prefill_buckets=(16,),
