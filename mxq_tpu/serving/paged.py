@@ -289,6 +289,42 @@ def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages,
     return first, k_pages, v_pages
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
+def paged_prefill_chunk(params, k_pages, v_pages, ids, length, offset,
+                        slot_page_table, chunk_pages, cfg: llama.LlamaConfig):
+    """Continuation prefill chunk [1, T_bucket] at cache ``offset`` — the
+    paged analogue of engine.Engine._get_prefill_chunk: the slot's
+    previously written pages are gathered to a dense prefix cache so the
+    chunk's queries attend rows [0, offset) plus their own causal prefix,
+    then the fresh chunk KV is scattered into ``chunk_pages``."""
+    t = ids.shape[1]
+    l, kvh, _, ps, d = k_pages.shape
+    cap = slot_page_table.shape[0] * ps
+
+    def to_dense(pages):
+        g = pages[:, :, slot_page_table]              # [L, KVH, NP, ps, D]
+        return g.transpose(0, 2, 3, 1, 4).reshape(l, 1, cap, kvh, d)
+
+    caches = {"k": to_dense(k_pages), "v": to_dense(v_pages)}
+    qpos = offset + jnp.arange(t)[:, None]
+    kpos = jnp.arange(cap)[None, :]
+    neg = jnp.finfo(jnp.float32).min
+    mask = jnp.where((kpos <= qpos) & (kpos < offset + length), 0.0,
+                     neg)[None, None]
+    logits, caches = llama.forward(params, ids, cfg, caches=caches,
+                                   cache_pos=offset, mask=mask)
+
+    def scatter(pages, buf):
+        fresh = jax.lax.dynamic_slice_in_dim(buf[:, 0], offset, t, axis=1)
+        chunk = fresh.reshape(l, t // ps, ps, kvh, d).transpose(0, 3, 1, 2, 4)
+        return pages.at[:, :, chunk_pages].set(chunk.astype(pages.dtype))
+
+    k_pages = scatter(k_pages, caches["k"])
+    v_pages = scatter(v_pages, caches["v"])
+    first = jnp.argmax(logits[0, length - 1]).astype(jnp.int32)
+    return first, k_pages, v_pages
+
+
 class PagedEngine:
     """Continuous batching over the paged pool (same host protocol as
     engine.Engine, vLLM-style memory management), with the same pipelined
@@ -342,15 +378,34 @@ class PagedEngine:
             cap = self.pool.page_tables.shape[1] * ps
             tail = req.prompt[-(cap - 1):]
             t = len(tail)
-            bucket = min(max(self.prefill_bucket, -(-t // ps) * ps), cap)
-            self.pool.ensure_capacity(slot, bucket)
-            npages = bucket // ps
-            slot_pages = jnp.array(self.pool.page_tables[slot][:npages])
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, :t] = tail
-            first, self.pool.k_pages, self.pool.v_pages = paged_prefill(
-                self.params, self.pool.k_pages, self.pool.v_pages,
-                jnp.asarray(ids), t, slot_pages, self.cfg)
+            # Fixed-size prefill chunks (multiple of the page size): prompts
+            # beyond one chunk continue via paged_prefill_chunk, so compile
+            # count stays bounded and long prompts condition in full.
+            chunk = -(-min(max(self.prefill_bucket, ps), cap) // ps) * ps
+            first = None
+            for off in range(0, t, chunk):
+                sub = tail[off:off + chunk]
+                ts = len(sub)
+                bucket = min(chunk, -(-ts // ps) * ps)
+                self.pool.ensure_capacity(slot, off + bucket)
+                pages = self.pool.page_tables[slot]
+                ids = np.zeros((1, bucket), np.int32)
+                ids[0, :ts] = sub
+                if off == 0:
+                    slot_pages = jnp.array(pages[:bucket // ps])
+                    first, self.pool.k_pages, self.pool.v_pages = \
+                        paged_prefill(self.params, self.pool.k_pages,
+                                      self.pool.v_pages, jnp.array(ids), ts,
+                                      slot_pages, self.cfg)
+                else:
+                    chunk_pages = jnp.array(
+                        pages[off // ps: off // ps + bucket // ps])
+                    first, self.pool.k_pages, self.pool.v_pages = \
+                        paged_prefill_chunk(
+                            self.params, self.pool.k_pages,
+                            self.pool.v_pages, jnp.array(ids),
+                            jnp.int32(ts), jnp.int32(off), jnp.array(pages),
+                            chunk_pages, self.cfg)
             first = int(first)          # blocks: serialized after in-flight
             req.generated = [first]
             self.slot_req[slot] = req

@@ -195,6 +195,21 @@ class TestSampling:
         assert outs[0] == outs[1]           # same seed -> same stream
         assert len(outs[2]) == 8            # different seed still completes
 
+    def test_paged_chunked_prefill_matches_greedy(self):
+        """Prompts longer than the paged prefill bucket continue in chunks
+        and must reproduce the greedy reference exactly."""
+        from mxq_tpu.serving.paged import PagedEngine
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(9)
+        prompt = rng.randint(1, CFG.vocab_size, size=40).astype(np.int32)
+        ref = greedy_reference(params, CFG, prompt, 5)
+        pe = PagedEngine(params, CFG, num_slots=2, total_pages=32,
+                         page_size=16, max_len=128, prefill_bucket=16,
+                         horizon=4)
+        req = pe.submit(prompt, max_new_tokens=5)
+        pe.run()
+        assert req.generated[:5] == ref
+
     def test_paged_sampling_top_k1_equals_greedy(self):
         from mxq_tpu.serving.paged import PagedEngine
         params = llama.init_params(CFG, jax.random.PRNGKey(0))
