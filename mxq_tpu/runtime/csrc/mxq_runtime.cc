@@ -194,4 +194,23 @@ int32_t mxq_sched_pending(Scheduler* s) {
   return static_cast<int32_t>(s->queue.size());
 }
 
+// Cancel a request by uid. Returns the slot it occupied (now freed), -1 if
+// it was removed from the queue, or -2 if not found (already finished).
+// A cancelled running request does NOT count toward `completed`.
+int32_t mxq_sched_cancel(Scheduler* s, int64_t uid) {
+  for (int32_t i = 0; i < s->num_slots; ++i) {
+    if (s->slot_uid[i] == uid) {
+      s->slot_uid[i] = -1;
+      return i;
+    }
+  }
+  for (auto it = s->queue.begin(); it != s->queue.end(); ++it) {
+    if (it->uid == uid) {
+      s->queue.erase(it);
+      return -1;
+    }
+  }
+  return -2;
+}
+
 }  // extern "C"

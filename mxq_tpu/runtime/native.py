@@ -72,6 +72,8 @@ def _declare(lib):
     lib.mxq_sched_completed.argtypes = [ctypes.c_void_p]
     lib.mxq_sched_pending.restype = ctypes.c_int32
     lib.mxq_sched_pending.argtypes = [ctypes.c_void_p]
+    lib.mxq_sched_cancel.restype = ctypes.c_int32
+    lib.mxq_sched_cancel.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 
 
 def _i8(a):
@@ -188,6 +190,11 @@ class NativeScheduler:
             toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return [(int(slots[i]), int(toks[i]), int(pos[i])) for i in range(n)]
+
+    def cancel(self, uid: int) -> int:
+        """Cancel by uid: returns the freed slot, -1 if dequeued, -2 if
+        unknown (already finished)."""
+        return int(self._lib.mxq_sched_cancel(self._h, uid))
 
     @property
     def completed(self) -> int:

@@ -133,6 +133,18 @@ class _PyScheduler:
             return True
         return False
 
+    def cancel(self, uid: int) -> int:
+        """Cancel by uid: freed slot index, -1 if dequeued, -2 if unknown."""
+        for i in range(self.num_slots):
+            if self._slot[i] is not None and self._slot[i]["uid"] == uid:
+                self._slot[i] = None
+                return i
+        for j, r in enumerate(self._queue):
+            if r["uid"] == uid:
+                del self._queue[j]
+                return -1
+        return -2
+
     @property
     def pending(self) -> int:
         return len(self._queue)
@@ -298,6 +310,24 @@ class Engine:
                            max_new_tokens,
                            -1 if eos_token_id is None else eos_token_id)
         return req
+
+    def cancel(self, req: "Request | int") -> bool:
+        """Cancel a queued or running request. Running requests free their
+        slot immediately; any tokens already in flight for it are discarded
+        when their chunk is processed (uid guard). Returns False if the
+        request already finished."""
+        uid = req.uid if isinstance(req, Request) else int(req)
+        slot = self._sched.cancel(uid)
+        if slot == -2:
+            return False
+        if slot >= 0:
+            self._pending_first.pop(slot, None)
+            if self._slot_uid[slot] == uid:
+                self._slot_uid[slot] = None
+        r = self._reqs.get(uid)
+        if r is not None:
+            r.done = True
+        return True
 
     def _admit(self, finished: list) -> None:
         """Admit queued requests into free slots (device prefill per slot)."""

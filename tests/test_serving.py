@@ -138,6 +138,28 @@ class TestQuantCacheDecode:
         assert quant_bytes < dense_bytes / 3  # int8 vs f32 here
 
 
+class TestCancel:
+    def test_cancel_queued_and_running(self):
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=1, max_len=64, prefill_buckets=(16,), kv_quant=False,
+            horizon=2))
+        prompt = np.arange(1, 6, dtype=np.int32)
+        r0 = e.submit(prompt, max_new_tokens=30)
+        r1 = e.submit(prompt + 1, max_new_tokens=4)
+        r2 = e.submit(prompt + 2, max_new_tokens=4)
+        e.step()                      # r0 running
+        assert e.cancel(r1)           # cancel while queued
+        assert e.cancel(r0)           # cancel while running (frees the slot)
+        done = e.run()                # r2 gets the slot and completes
+        assert r2.done and len(r2.generated) >= 4
+        assert r0.done and r1.done and len(r1.generated) == 0
+        assert not e.cancel(r2)       # already finished
+        ref = greedy_reference(params, CFG, prompt + 2, 4)
+        assert r2.generated[:4] == ref
+        assert r2 in done
+
+
 class TestEngineSoak:
     def test_random_workload_matches_greedy(self):
         """Soak: a stream of random-length requests through 2 slots must
