@@ -276,8 +276,11 @@ def cmd_serve(args):
     done = e.run()
     dt = time.time() - t0
     total = sum(len(r.generated) for r in done)
-    print(json.dumps({"requests": len(done), "tokens": total,
-                      "tokens_per_sec": total / dt}))
+    out = {"requests": len(done), "tokens": total,
+           "tokens_per_sec": total / dt}
+    out.update({k: round(v, 4) if isinstance(v, float) else v
+                for k, v in e.stats().items()})
+    print(json.dumps(out))
 
 
 def _add_model_args(p):

@@ -25,6 +25,7 @@ vs 11.4 ms device through the relay, docs/RESULTS.md).
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Callable, Optional
 
@@ -45,6 +46,10 @@ class Request:
     # filled by the engine:
     generated: list = dataclasses.field(default_factory=list)
     done: bool = False
+    # host-clock observability (seconds, time.monotonic):
+    t_submit: float = 0.0
+    t_first: float = 0.0                # first token observed (TTFT anchor)
+    t_done: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -298,7 +303,7 @@ class Engine:
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 64,
                eos_token_id: Optional[int] = None) -> Request:
         req = Request(self._uid, np.asarray(prompt, np.int32), max_new_tokens,
-                      eos_token_id)
+                      eos_token_id, t_submit=time.monotonic())
         self._uid += 1
         self._reqs[req.uid] = req
         # Prompts longer than the largest bucket are prefilled in chunks
@@ -310,6 +315,30 @@ class Engine:
                            max_new_tokens,
                            -1 if eos_token_id is None else eos_token_id)
         return req
+
+    def stats(self) -> dict:
+        """Serving observability over all requests seen by this engine:
+        TTFT (submit -> first token observed) and end-to-end latency
+        percentiles, plus aggregate generated-token throughput. Host-clock
+        based; with the pipelined loop, token observation lags device
+        completion by up to one chunk."""
+        fin = [r for r in self._reqs.values() if r.done and r.t_first]
+        out = {"requests_submitted": len(self._reqs),
+               "requests_finished": len(fin),
+               "tokens_generated": sum(len(r.generated)
+                                       for r in self._reqs.values())}
+        if fin:
+            ttft = np.array([r.t_first - r.t_submit for r in fin])
+            e2e = np.array([r.t_done - r.t_submit for r in fin])
+            span = (max(r.t_done for r in fin)
+                    - min(r.t_submit for r in fin)) or 1e-9
+            out.update(
+                ttft_p50_s=float(np.percentile(ttft, 50)),
+                ttft_p95_s=float(np.percentile(ttft, 95)),
+                e2e_p50_s=float(np.percentile(e2e, 50)),
+                e2e_p95_s=float(np.percentile(e2e, 95)),
+                tokens_per_sec=sum(len(r.generated) for r in fin) / span)
+        return out
 
     def cancel(self, req: "Request | int") -> bool:
         """Cancel a queued or running request. Running requests free their
@@ -427,9 +456,12 @@ class Engine:
             first = int(fd)
             req = self._reqs[uid]
             req.generated.append(first)
+            if not req.t_first:
+                req.t_first = time.monotonic()
             self._last_tok[s] = first
             if self._sched.on_token(s, first):
                 req.done = True
+                req.t_done = req.t_first
                 finished.append(req)
                 self._slot_uid[s] = None
 
@@ -441,6 +473,7 @@ class Engine:
         finished: list[Request] = []
         self._flush_pending_first(finished)
         toks = np.asarray(fl["toks"])           # [horizon, B]; blocks
+        now = time.monotonic()
         retired = set()
         for i in range(fl["horizon"]):
             for s in np.where(fl["active"])[0]:
@@ -450,9 +483,12 @@ class Engine:
                 tok = int(toks[i, s])
                 req = self._reqs[uid]
                 req.generated.append(tok)
+                if not req.t_first:
+                    req.t_first = now
                 self._last_tok[s] = tok
                 if self._sched.on_token(s, tok):
                     req.done = True
+                    req.t_done = now
                     finished.append(req)
                     self._slot_uid[s] = None
                     retired.add(s)

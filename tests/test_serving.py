@@ -138,6 +138,22 @@ class TestQuantCacheDecode:
         assert quant_bytes < dense_bytes / 3  # int8 vs f32 here
 
 
+class TestStats:
+    def test_stats_populated(self):
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False,
+            horizon=2))
+        for i in range(3):
+            e.submit(np.arange(1, 6, dtype=np.int32) + i, max_new_tokens=4)
+        e.run()
+        s = e.stats()
+        assert s["requests_finished"] == 3
+        assert s["tokens_generated"] >= 12
+        assert s["ttft_p50_s"] > 0 and s["e2e_p95_s"] >= s["ttft_p50_s"]
+        assert s["tokens_per_sec"] > 0
+
+
 class TestCancel:
     def test_cancel_queued_and_running(self):
         params = llama.init_params(CFG, jax.random.PRNGKey(0))
