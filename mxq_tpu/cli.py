@@ -273,7 +273,11 @@ def cmd_serve(args):
             for _ in range(args.requests)]
     import time
     t0 = time.time()
-    done = e.run()
+    if args.spec_decode:
+        from mxq_tpu.serving import spec
+        done = spec.run_spec(e, draft_len=args.draft_len)
+    else:
+        done = e.run()
     dt = time.time() - t0
     total = sum(len(r.generated) for r in done)
     out = {"requests": len(done), "tokens": total,
@@ -397,6 +401,10 @@ def main(argv=None):
                    help="0 = greedy; >0 samples with top_k/top_p")
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--spec_decode", action="store_true",
+                   help="prompt-lookup speculative decoding (greedy, "
+                        "bf16 KV only)")
+    p.add_argument("--draft_len", type=int, default=4)
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -529,18 +529,24 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
     """Decode forward where every slot writes its KV at its OWN position.
 
     lax.dynamic_update_slice needs a common offset, so per-slot writes use a
-    one-hot scatter along the sequence axis instead (T=1 decode only).
+    one-hot scatter along the sequence axis instead. ``tokens`` may be
+    [B, 1] (decode) or [B, T] (speculative verify: token t of slot b lands
+    at row positions[b] + t and its query attends rows <= positions[b] + t).
+    The int8-KV path supports T=1 only.
     """
-    b = tokens.shape[0]
+    b, tt = tokens.shape
     x = params["embed_tokens"][tokens]
-    cos, sin = llama.rope_tables(cfg, positions[:, None].astype(jnp.float32))
+    posmat = positions[:, None] + jnp.arange(tt, dtype=positions.dtype)
+    cos, sin = llama.rope_tables(cfg, posmat.astype(jnp.float32))
     cos = cos.astype(x.dtype)
     sin = sin.astype(x.dtype)
     quant = "k_codes" in caches
+    if quant and tt != 1:
+        raise NotImplementedError("int8-KV multipos forward is T=1 only")
     s = caches["k_codes"].shape[3] if quant else caches["k"].shape[2]
-    kpos = jnp.arange(s)[None, :]
-    mask = jnp.where(kpos <= positions[:, None], 0.0,
-                     jnp.finfo(jnp.float32).min)[:, None, None, :]
+    kpos = jnp.arange(s)[None, None, :]
+    mask = jnp.where(kpos <= posmat[:, :, None], 0.0,
+                     jnp.finfo(jnp.float32).min)[:, None, :, :]
 
     from mxq_tpu.packfmt import PackedMXQLinear
     layer_params = params["layers"]
@@ -608,9 +614,10 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
             ctx = ctx.reshape(b_, t, nh * d).astype(x.dtype)
         else:
             def scatter(buf, val):
-                # buf [L, B, S, H, D], val [B, 1, H, D]
-                return buf.at[idx, jnp.arange(b_), positions].set(
-                    val[:, 0].astype(buf.dtype))
+                # buf [L, B, S, H, D], val [B, T, H, D]: row posmat[b, t]
+                # of slot b <- val[b, t] (rows within one call are distinct)
+                return buf.at[idx, jnp.arange(b_)[:, None], posmat].set(
+                    val.astype(buf.dtype))
 
             cache = {"k": scatter(cache["k"], k),
                      "v": scatter(cache["v"], v)}

@@ -138,6 +138,50 @@ class TestQuantCacheDecode:
         assert quant_bytes < dense_bytes / 3  # int8 vs f32 here
 
 
+class TestSpeculative:
+    def _run(self, prompt, n_new, draft_len=4, ngram=3, nreq=1):
+        from mxq_tpu.serving import spec
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
+        reqs = [e.submit(prompt + i, max_new_tokens=n_new)
+                for i in range(nreq)]
+        spec.run_spec(e, draft_len=draft_len, ngram=ngram)
+        refs = [greedy_reference(params, CFG, prompt + i, n_new)
+                for i in range(nreq)]
+        return reqs, refs
+
+    def test_repetitive_prompt_matches_greedy(self):
+        """High-acceptance case: a looping prompt makes prompt-lookup drafts
+        accurate, and outputs must STILL match plain greedy exactly."""
+        prompt = np.array([5, 6, 7, 8] * 5, np.int32)
+        reqs, refs = self._run(prompt, 10)
+        assert reqs[0].generated[:10] == refs[0]
+
+    def test_random_prompt_matches_greedy(self):
+        """Low-acceptance case (drafts mostly rejected): still exact."""
+        rng = np.random.RandomState(3)
+        prompt = rng.randint(1, CFG.vocab_size, size=12).astype(np.int32)
+        reqs, refs = self._run(prompt, 8)
+        assert reqs[0].generated[:8] == refs[0]
+
+    def test_multi_request_slot_reuse(self):
+        prompt = np.array([9, 10, 11] * 4, np.int32)
+        reqs, refs = self._run(prompt, 6, nreq=5)
+        for r, ref in zip(reqs, refs):
+            assert r.done and r.generated[:6] == ref
+
+    def test_ngram_draft_lookup(self):
+        from mxq_tpu.serving.spec import ngram_draft
+        hist = np.array([1, 2, 3, 9, 1, 2, 3], np.int32)
+        # trailing 3-gram [1,2,3] matched earlier; continuation was [9,1,2]
+        d = ngram_draft(hist, 3, 3)
+        assert list(d) == [9, 1, 2]
+        # no match -> repeat last token
+        d2 = ngram_draft(np.array([4, 5, 6], np.int32), 3, 2)
+        assert list(d2) == [6, 6]
+
+
 class TestStats:
     def test_stats_populated(self):
         params = llama.init_params(CFG, jax.random.PRNGKey(0))
