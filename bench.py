@@ -102,30 +102,35 @@ def autotune_layout(key):
     dequant); bfexp (bf16 multiply-sub precision, measured ppl-neutral —
     docs/RESULTS.md) is timed and reported as available upside."""
     from mxq_tpu.ops import mxq_matmul as mm
+    from mxq_tpu.utils.benchlib import fold_to_input
     k = 4096
     p = random_packed_linear(key, k, 11008)
     xb = jnp.ones((BATCH, k), jnp.bfloat16)
-
-    def back_to_x(y):
-        # fold [b, o] back to an x-shaped carry CONSUMING every column (a
-        # plain slice lets XLA dead-code-eliminate part of the matmul)
-        o_ = y.shape[1]
-        pad_to = -(-o_ // k) * k
-        folded = jnp.pad(y, ((0, 0), (0, pad_to - o_))).reshape(
-            y.shape[0], pad_to // k, k).sum(axis=1)
-        return (folded * 1e-6).astype(jnp.bfloat16)
+    xr = jax.random.normal(key, (BATCH, k), jnp.float32)
+    # on-device numeric parity gate: a layout must reproduce the slab
+    # result before its timing can win the headline (guards against a
+    # backend lowering ever ordering the bitcast bytes differently than
+    # the CPU-interpret tests validate)
+    y_slab = mm.mxq_matmul(xr, p, layout="slab")
+    scale = float(jnp.max(jnp.abs(y_slab))) + 1e-9
 
     times = {}
     for layout in ("slab", "quad", "bfexp"):
         def stepl(c, x, _l=layout):
-            return back_to_x(mm.mxq_matmul(x, c, layout=_l))
+            return fold_to_input(mm.mxq_matmul(x, c, layout=_l), k)
         try:
+            if layout != "slab":
+                y = mm.mxq_matmul(xr, p, layout=layout)
+                rel = float(jnp.max(jnp.abs(y - y_slab))) / scale
+                tol = 0.002 if layout == "quad" else 0.05
+                if rel > tol:
+                    raise ValueError(f"parity vs slab rel={rel:.2e}")
             times[layout] = time_op(stepl, xb, const=p)
         except Exception as e:  # noqa: BLE001 — a layout that fails to
-            # compile on this backend just drops out of the tuning
+            # compile or match on this backend drops out of the tuning
             times[layout] = float("inf")
             times[layout + "_error"] = f"{type(e).__name__}: {e}"[:120]
-    del p, xb
+    del p, xb, xr, y_slab
     jax.clear_caches()
     winner = min(("slab", "quad"), key=lambda l: times[l])
     return winner, times

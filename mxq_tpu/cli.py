@@ -262,7 +262,10 @@ def cmd_serve(args):
         params = llama.quantize_params_packed(params, cfg)
     e = eng.Engine(params, cfg, eng.EngineConfig(
         num_slots=args.slots, max_len=args.max_len,
-        kv_quant=args.kv_bits < 32, prefill_a8=args.prefill_a8,
+        # speculative decoding needs bf16 KV (the fused int8-KV attention
+        # kernel is single-token)
+        kv_quant=args.kv_bits < 32 and not args.spec_decode,
+        prefill_a8=args.prefill_a8,
         greedy=args.temperature == 0.0,
         temperature=args.temperature or 1.0,
         top_k=args.top_k, top_p=args.top_p, seed=args.seed))
@@ -281,9 +284,9 @@ def cmd_serve(args):
     dt = time.time() - t0
     total = sum(len(r.generated) for r in done)
     out = {"requests": len(done), "tokens": total,
-           "tokens_per_sec": total / dt}
-    out.update({k: round(v, 4) if isinstance(v, float) else v
-                for k, v in e.stats().items()})
+           "tokens_per_sec": total / dt,
+           "stats": {k: round(v, 4) if isinstance(v, float) else v
+                     for k, v in e.stats().items()}}
     print(json.dumps(out))
 
 

@@ -322,7 +322,8 @@ class Engine:
         percentiles, plus aggregate generated-token throughput. Host-clock
         based; with the pipelined loop, token observation lags device
         completion by up to one chunk."""
-        fin = [r for r in self._reqs.values() if r.done and r.t_first]
+        fin = [r for r in self._reqs.values()
+               if r.done and r.t_first and r.t_done]
         out = {"requests_submitted": len(self._reqs),
                "requests_finished": len(fin),
                "tokens_generated": sum(len(r.generated)
@@ -356,6 +357,8 @@ class Engine:
         r = self._reqs.get(uid)
         if r is not None:
             r.done = True
+            if not r.t_done:
+                r.t_done = time.monotonic()
         return True
 
     def _admit(self, finished: list) -> None:
@@ -367,14 +370,21 @@ class Engine:
             t = len(tail)
             first = None
             for off in range(0, t, bmax):
-                sub = tail[off:off + bmax]
-                ts = len(sub)
+                ts = len(tail[off:off + bmax])
                 bucket = next((bkt for bkt in self.ecfg.prefill_buckets
                                if bkt >= ts), bmax)
+                # the padded window must fit the cache — dynamic_update_slice
+                # silently CLAMPS an overrunning start index, corrupting
+                # earlier rows. Shift the window left instead (the overlap
+                # rows recompute byte-identical KV from the same tokens and
+                # positions).
+                w = min(off, self.ecfg.max_len - bucket)
+                sub = tail[w:w + bucket]
+                ts = len(sub)
                 ids = np.zeros((1, bucket), np.int32)
                 ids[0, :ts] = sub
                 pkey = jax.random.fold_in(self._key_prefill, uid)
-                if off == 0:
+                if w == 0:
                     prefill = self._get_prefill(bucket)
                     self.caches, first = prefill(self.params, self.caches,
                                                  jnp.array(ids), ts, pkey,
@@ -383,25 +393,23 @@ class Engine:
                     prefill = self._get_prefill_chunk(bucket)
                     self.caches, first = prefill(
                         self.params, self.caches, jnp.array(ids),
-                        jnp.int32(ts), jnp.int32(off), pkey, slot)
+                        jnp.int32(ts), jnp.int32(w), pkey, slot)
+                # jax's CPU runtime exhibits a rare async race when a cache
+                # buffer donated to one computation is immediately re-donated
+                # to the next with no host sync (~30% of runs read the
+                # pre-write cache; isolated by removing donate_argnums — the
+                # TPU runtime's donated decode->decode chains never showed
+                # this in rounds 1-2). Sync EACH prefill call on CPU: the
+                # chunk->chunk and prefill->decode donation chains are both
+                # the racy pattern. Keep the overlap on TPU where it pays.
+                if jax.default_backend() == "cpu":
+                    first.block_until_ready()
             # DEFERRED first-token fetch: the prefill result stays on device
             # and chains into the next decode chunk via the patched host_toks
             # vector (_dispatch); the host fetches it in _flush_pending_first
             # AFTER the chunk is dispatched, so the prefill->host RTT
             # overlaps the chunk's device time instead of stalling the
             # pipeline once per admission.
-            #
-            # CPU-backend exception: jax's CPU runtime exhibits a rare
-            # async-execution race when a cache buffer donated to the prefill
-            # is immediately re-donated to the next decode chunk without any
-            # host sync (~30% of runs decode against the pre-prefill cache;
-            # reproduced in tests/test_serving.py
-            # ::test_continuous_batching_multiple_requests and isolated by
-            # removing donate_argnums — the TPU runtime's donated decode->
-            # decode chains never showed this in rounds 1-2). Synchronize on
-            # CPU; keep the overlap on TPU where it pays.
-            if jax.default_backend() == "cpu":
-                first.block_until_ready()
             self._pending_first[slot] = first
             req.generated = []
             self._slot_uid[slot] = uid
@@ -439,6 +447,11 @@ class Engine:
             self.params, self.caches, chained,
             host_toks, jnp.array(use_chain),
             jnp.array(self._pos), jnp.array(active), key, horizon=horizon)
+        if jax.default_backend() == "cpu":
+            # jax's CPU runtime intermittently mis-orders donated-buffer
+            # chains under async dispatch (see the note in _admit);
+            # serialize on CPU — the TPU runtime keeps the pipelining.
+            jax.block_until_ready(toks)
         snap = dict(toks=toks, active=active, gen=self._admit_gen.copy(),
                     uids=list(self._slot_uid), horizon=horizon)
         self._pos[active] += horizon

@@ -261,12 +261,13 @@ def paged_decode_chunk(params, k_pages, v_pages, chained, host_toks,
     return all_toks, k_pages, v_pages
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
-def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages,
-                  cfg: llama.LlamaConfig):
+@partial(jax.jit, static_argnames=("cfg", "sample"), donate_argnums=(1, 2))
+def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages, key,
+                  cfg: llama.LlamaConfig, sample: tuple = (True, 1.0, 0, 1.0)):
     """Prefill one prompt [1, T_bucket] and scatter its KV into the slot's
     pages. ``slot_pages``: [T_bucket // page_size] int32 page ids. Returns
-    (first generated token logits argmax, k_pages, v_pages)."""
+    (first generated token — sampled per ``sample``, like the dense
+    engine's prefill — k_pages, v_pages)."""
     t = ids.shape[1]
     ps = k_pages.shape[3]
     caches = llama.init_cache(cfg, 1, t, dtype=k_pages.dtype)
@@ -285,13 +286,16 @@ def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages,
 
     k_pages = scatter(k_pages, caches["k"])
     v_pages = scatter(v_pages, caches["v"])
-    first = jnp.argmax(logits[0, length - 1]).astype(jnp.int32)
-    return first, k_pages, v_pages
+    from mxq_tpu.serving.engine import sample_token
+    first = sample_token(logits[0:1, length - 1], key, *sample)[0]
+    return first.astype(jnp.int32), k_pages, v_pages
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
+@partial(jax.jit, static_argnames=("cfg", "sample"), donate_argnums=(1, 2))
 def paged_prefill_chunk(params, k_pages, v_pages, ids, length, offset,
-                        slot_page_table, chunk_pages, cfg: llama.LlamaConfig):
+                        slot_page_table, chunk_pages, key,
+                        cfg: llama.LlamaConfig,
+                        sample: tuple = (True, 1.0, 0, 1.0)):
     """Continuation prefill chunk [1, T_bucket] at cache ``offset`` — the
     paged analogue of engine.Engine._get_prefill_chunk: the slot's
     previously written pages are gathered to a dense prefix cache so the
@@ -321,8 +325,9 @@ def paged_prefill_chunk(params, k_pages, v_pages, ids, length, offset,
 
     k_pages = scatter(k_pages, caches["k"])
     v_pages = scatter(v_pages, caches["v"])
-    first = jnp.argmax(logits[0, length - 1]).astype(jnp.int32)
-    return first, k_pages, v_pages
+    from mxq_tpu.serving.engine import sample_token
+    first = sample_token(logits[0:1, length - 1], key, *sample)[0]
+    return first.astype(jnp.int32), k_pages, v_pages
 
 
 class PagedEngine:
@@ -343,7 +348,8 @@ class PagedEngine:
         self.params = params
         self.cfg = cfg
         self.sample = (greedy, temperature, top_k, top_p)
-        self._key = jax.random.PRNGKey(seed)
+        self._key_decode, self._key_prefill = jax.random.split(
+            jax.random.PRNGKey(seed))
         self._chunk_no = 0
         self.pool = PagedPool.create(cfg, num_slots, total_pages, page_size,
                                      max_len)
@@ -391,12 +397,14 @@ class PagedEngine:
                 pages = self.pool.page_tables[slot]
                 ids = np.zeros((1, bucket), np.int32)
                 ids[0, :ts] = sub
+                pkey = jax.random.fold_in(self._key_prefill, req.uid)
                 if off == 0:
                     slot_pages = jnp.array(pages[:bucket // ps])
                     first, self.pool.k_pages, self.pool.v_pages = \
                         paged_prefill(self.params, self.pool.k_pages,
                                       self.pool.v_pages, jnp.array(ids), ts,
-                                      slot_pages, self.cfg)
+                                      slot_pages, pkey, self.cfg,
+                                      sample=self.sample)
                 else:
                     chunk_pages = jnp.array(
                         pages[off // ps: off // ps + bucket // ps])
@@ -405,7 +413,7 @@ class PagedEngine:
                             self.params, self.pool.k_pages,
                             self.pool.v_pages, jnp.array(ids),
                             jnp.int32(ts), jnp.int32(off), jnp.array(pages),
-                            chunk_pages, self.cfg)
+                            chunk_pages, pkey, self.cfg, sample=self.sample)
             first = int(first)          # blocks: serialized after in-flight
             req.generated = [first]
             self.slot_req[slot] = req
@@ -442,7 +450,7 @@ class PagedEngine:
             chained = jnp.zeros((b,), jnp.int32)
             use_chain = np.zeros(b, bool)
         positions = self.pool.lengths.astype(np.int32)
-        key = jax.random.fold_in(self._key, self._chunk_no)
+        key = jax.random.fold_in(self._key_decode, self._chunk_no)
         self._chunk_no += 1
         toks, self.pool.k_pages, self.pool.v_pages = paged_decode_chunk(
             self.params, self.pool.k_pages, self.pool.v_pages, chained,
@@ -450,6 +458,9 @@ class PagedEngine:
             jnp.array(positions), jnp.array(active),
             jnp.array(self.pool.page_tables), key, self.cfg, horizon,
             sample=self.sample)
+        if jax.default_backend() == "cpu":
+            # CPU async donation-chain race — see engine._dispatch
+            jax.block_until_ready(toks)
         snap = dict(toks=toks, active=active, gen=self._admit_gen.copy(),
                     reqs=list(self.slot_req), horizon=horizon)
         for s in np.where(active)[0]:

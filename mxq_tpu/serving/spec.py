@@ -84,6 +84,9 @@ def run_spec(engine: "eng.Engine", draft_len: int = 4,
         raise NotImplementedError("speculative decoding needs bf16 KV "
                                   "(EngineConfig.kv_quant=False)")
     assert engine.ecfg.greedy, "speculative decoding is greedy-only"
+    assert engine._inflight is None, \
+        "drain the pipelined loop (process its in-flight chunk) before " \
+        "switching to speculative decoding — _pos already advanced for it"
     done: list = []
     engine._admit(done)
     engine._flush_pending_first(done)

@@ -69,3 +69,16 @@ def time_op(step, x0, iters_lo=None, iters_hi=None, reps=3,
         t_hi = time.perf_counter() - t0
         ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
     return float(np.median(ts))
+
+
+def fold_to_input(y, k: int, dtype=None):
+    """Fold a [B, O] matmul output back to an x-shaped [B, k] carry for
+    time_op's step contract, CONSUMING every output column — a plain slice
+    lets XLA dead-code-eliminate the unused part of the benched matmul
+    (observed as an impossible "2 TB/s" bf16 baseline in round 1)."""
+    import jax.numpy as jnp
+    o = y.shape[1]
+    pad_to = -(-o // k) * k
+    folded = jnp.pad(y, ((0, 0), (0, pad_to - o))).reshape(
+        y.shape[0], pad_to // k, k).sum(axis=1)
+    return (folded * 1e-6).astype(dtype or y.dtype)

@@ -348,6 +348,20 @@ class TestLongPrompt:
             e.run()
             assert req.generated[:n_new] == ref, buckets
 
+    def test_chunked_prefill_bucket_overruns_cache_end(self):
+        """Final-chunk window would overrun max_len (buckets don't divide
+        it): the window must SHIFT left (recomputing overlap rows), never
+        let dynamic_update_slice clamp the write start."""
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(6)
+        prompt = rng.randint(1, CFG.vocab_size, size=79).astype(np.int32)
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=1, max_len=80, prefill_buckets=(64,), kv_quant=False))
+        req = e.submit(prompt, max_new_tokens=1)
+        e.run()
+        ref = greedy_reference(params, CFG, prompt, 1)
+        assert req.generated[:1] == ref
+
     def test_chunked_prefill_quant_kv(self):
         """Chunked prefill through the int8 KV cache path runs and matches
         the single-bucket int8 engine."""

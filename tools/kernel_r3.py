@@ -199,32 +199,10 @@ def kernel_mode(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
 # ---------------------------------------------------------------------------
 
 
-def permute_x2_pair(x2: jax.Array, n_kt: int) -> jax.Array:
-    """Halfword-pair layout: row p*96 + 2r + h <- col 16r + p + 8h."""
-    b = x2.shape[0]
-    return (x2.reshape(b, n_kt, W2_ROWS, 2, 8).transpose(0, 1, 4, 2, 3)
-            .reshape(b, -1))
-
-
-def permute_x4_pair(x4: jax.Array, n_kt: int) -> jax.Array:
-    """Halfword-pair layout (4b): row j*64 + 2r + h <- col 8r + j + 4h."""
-    b = x4.shape[0]
-    return (x4.reshape(b, n_kt, W4_ROWS, 2, 4).transpose(0, 1, 4, 2, 3)
-            .reshape(b, -1))
-
-
-def permute_x2_quad(x2: jax.Array, n_kt: int) -> jax.Array:
-    """Byte-quad layout: row j*192 + 4r + bb <- col 16r + j + 4bb."""
-    b = x2.shape[0]
-    return (x2.reshape(b, n_kt, W2_ROWS, 4, 4).transpose(0, 1, 4, 2, 3)
-            .reshape(b, -1))
-
-
-def permute_x4_quad(x4: jax.Array, n_kt: int) -> jax.Array:
-    """Byte-quad layout (4b): row j*128 + 4r + bb <- col 8r + j + 2bb."""
-    b = x4.shape[0]
-    return (x4.reshape(b, n_kt, W4_ROWS, 4, 2).transpose(0, 1, 4, 2, 3)
-            .reshape(b, -1))
+# the layout-defining activation permutations live in the production module
+# (single source of truth — the probe must measure the shipped layouts)
+from mxq_tpu.ops.mxq_matmul import (permute_x2_pair, permute_x4_pair,  # noqa: E402
+                                    permute_x2_quad, permute_x4_quad)
 
 
 def kernel_bfexp(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,

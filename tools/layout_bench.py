@@ -49,15 +49,7 @@ def main():
                @ packfmt.unpack_dequant(p, CFG))
         wb = (p.w2.size + p.w4.size + p.meta2.size) * 4 + (
             p.qscale.size + p.qmin.size) * 2
-
-        def back_to_x(y):
-            # fold [b, o] to an x-shaped carry consuming every column
-            o_ = y.shape[1]
-            pad_to = -(-o_ // k) * k
-            folded = jnp.pad(y, ((0, 0), (0, pad_to - o_))).reshape(
-                y.shape[0], pad_to // k, k).sum(axis=1)
-            return (folded * 1e-6).astype(x0.dtype)
-
+        from mxq_tpu.utils.benchlib import fold_to_input
         x0 = xb.astype(jnp.bfloat16)
         for layout in args.layouts.split(","):
             y = mm.mxq_matmul(xb, p, CFG, layout=layout)
@@ -65,7 +57,7 @@ def main():
                         / (float(jnp.max(jnp.abs(ref))) + 1e-9))
 
             def step(c, x, _l=layout):
-                return back_to_x(mm.mxq_matmul(x, c, CFG, layout=_l))
+                return fold_to_input(mm.mxq_matmul(x, c, CFG, layout=_l), k)
             t = time_op(step, x0, const=p)
             print(f"{sname} B={b} {layout:>6}: {t*1e6:7.1f} us "
                   f"({wb/t/1e9:4.0f} GB/s wt)  err={err:.1e}", flush=True)
