@@ -171,6 +171,19 @@ class TestSpeculative:
         for r, ref in zip(reqs, refs):
             assert r.done and r.generated[:6] == ref
 
+    def test_spec_with_chunked_prefill_prompt(self):
+        """Speculative decoding after a multi-chunk prefill (prompt beyond
+        the largest bucket) still matches plain greedy exactly."""
+        from mxq_tpu.serving import spec
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.array(list(range(3, 9)) * 7, np.int32)  # len 42 > 16
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
+        req = e.submit(prompt, max_new_tokens=8)
+        spec.run_spec(e, draft_len=4)
+        ref = greedy_reference(params, CFG, prompt, 8)
+        assert req.generated[:8] == ref
+
     def test_ngram_draft_lookup(self):
         from mxq_tpu.serving.spec import ngram_draft
         hist = np.array([1, 2, 3, 9, 1, 2, 3], np.int32)
