@@ -262,10 +262,7 @@ def cmd_serve(args):
         params = llama.quantize_params_packed(params, cfg)
     e = eng.Engine(params, cfg, eng.EngineConfig(
         num_slots=args.slots, max_len=args.max_len,
-        # speculative decoding needs bf16 KV (the fused int8-KV attention
-        # kernel is single-token)
-        kv_quant=args.kv_bits < 32 and not args.spec_decode,
-        prefill_a8=args.prefill_a8,
+        kv_quant=args.kv_bits < 32, prefill_a8=args.prefill_a8,
         greedy=args.temperature == 0.0,
         temperature=args.temperature or 1.0,
         top_k=args.top_k, top_p=args.top_p, seed=args.seed))

@@ -554,8 +554,6 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
     cos = cos.astype(x.dtype)
     sin = sin.astype(x.dtype)
     quant = "k_codes" in caches
-    if quant and tt != 1:
-        raise NotImplementedError("int8-KV multipos forward is T=1 only")
     s = caches["k_codes"].shape[3] if quant else caches["k"].shape[2]
     kpos = jnp.arange(s)[None, None, :]
     mask = jnp.where(kpos <= posmat[:, :, None], 0.0,
@@ -596,34 +594,41 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
 
         if quant:
             # head-major int8 cache: codes [L, B, H, S, D], scales
-            # [L, B, H, S]. Each slot's one new token lands at its OWN
-            # position in the CURRENT layer via an indexed scatter (writes
-            # B rows of the full stacked buffer, no cache copies).
-            kc, ks = kvcache.quantize_kv_headmajor(k)   # [B,H,1,D], [B,H,1]
+            # [L, B, H, S]. Each slot's new token(s) land at their OWN
+            # positions in the CURRENT layer via indexed scatters (writes
+            # B*T rows of the full stacked buffer, no cache copies). T > 1
+            # (speculative verify) attends one query at a time through the
+            # same fused kernel — T full-cache reads replace the T
+            # sequential decode steps' reads, so total traffic is unchanged.
+            kc, ks = kvcache.quantize_kv_headmajor(k)   # [B,H,T,D], [B,H,T]
             vc, vs = kvcache.quantize_kv_headmajor(v)
             rows = jnp.arange(b_)
 
-            def scat(buf, val):
+            def scat(buf, val, ti):
                 # buf [L, B, H, S, ...]; advanced indices (idx, rows,
                 # positions) with the H slice between put updates at
-                # (idx, rows[b], :, positions[b])
-                return buf.at[idx, rows, :, positions].set(
-                    val[:, :, 0].astype(buf.dtype))
+                # (idx, rows[b], :, posmat[b, ti])
+                return buf.at[idx, rows, :, posmat[:, ti]].set(
+                    val[:, :, ti].astype(buf.dtype))
 
-            cache = {
-                "k_codes": scat(cache["k_codes"], kc),
-                "k_scale": scat(cache["k_scale"], ks),
-                "v_codes": scat(cache["v_codes"], vc),
-                "v_scale": scat(cache["v_scale"], vs),
-            }
+            for ti in range(t):
+                cache = {
+                    "k_codes": scat(cache["k_codes"], kc, ti),
+                    "k_scale": scat(cache["k_scale"], ks, ti),
+                    "v_codes": scat(cache["v_codes"], vc, ti),
+                    "v_scale": scat(cache["v_scale"], vs, ti),
+                }
             layer_view = {kk: jax.lax.dynamic_index_in_dim(
                 cache[kk], idx, 0, keepdims=False)
                 for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
             # fused decode attention straight off the int8 codes
             from mxq_tpu.ops import attn_int8 as _a8
-            ctx = _a8.int8_decode_attention(
-                q[:, 0], layer_view["k_codes"], layer_view["k_scale"],
-                layer_view["v_codes"], layer_view["v_scale"], positions)
+            ctx = jnp.stack([
+                _a8.int8_decode_attention(
+                    q[:, ti], layer_view["k_codes"], layer_view["k_scale"],
+                    layer_view["v_codes"], layer_view["v_scale"],
+                    positions + ti)
+                for ti in range(t)], axis=1)
             ctx = ctx.reshape(b_, t, nh * d).astype(x.dtype)
         else:
             def scatter(buf, val):

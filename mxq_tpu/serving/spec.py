@@ -16,8 +16,9 @@ causal position mask) and are overwritten before the frontier reaches them
 row).
 
 The reference has no serving loop at all (SURVEY.md §0.3); this extends the
-beyond-reference engine. bf16-KV caches only (the fused int8-KV attention
-kernel is single-token).
+beyond-reference engine. Works with bf16 AND int8 KV caches (the fused
+int8-KV attention kernel attends one verify query at a time — T full-cache
+reads replace the T sequential decode steps' reads).
 """
 
 from __future__ import annotations
@@ -80,9 +81,6 @@ def run_spec(engine: "eng.Engine", draft_len: int = 4,
     decoding. Returns finished requests; generations match engine.run()
     greedy exactly (tested). Synchronous dispatch (one verify round-trip
     per step); combine with pipelining later if profitable."""
-    if "k_codes" in getattr(engine, "caches", {}):
-        raise NotImplementedError("speculative decoding needs bf16 KV "
-                                  "(EngineConfig.kv_quant=False)")
     assert engine.ecfg.greedy, "speculative decoding is greedy-only"
     assert engine._inflight is None, \
         "drain the pipelined loop (process its in-flight chunk) before " \

@@ -171,6 +171,25 @@ class TestSpeculative:
         for r, ref in zip(reqs, refs):
             assert r.done and r.generated[:6] == ref
 
+    def test_spec_int8_kv_matches_plain_int8_engine(self):
+        """Speculative decoding over the int8 KV cache must equal the plain
+        int8-KV engine token-for-token (same fused-attention math, fewer
+        dispatches)."""
+        from mxq_tpu.serving import spec
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.array([4, 5, 6] * 5, np.int32)
+
+        e1 = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=True))
+        r1 = e1.submit(prompt, max_new_tokens=8)
+        e1.run()
+
+        e2 = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=True))
+        r2 = e2.submit(prompt, max_new_tokens=8)
+        spec.run_spec(e2, draft_len=4)
+        assert r2.generated[:8] == r1.generated[:8]
+
     def test_spec_with_chunked_prefill_prompt(self):
         """Speculative decoding after a multi-chunk prefill (prompt beyond
         the largest bucket) still matches plain greedy exactly."""
