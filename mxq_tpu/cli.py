@@ -162,6 +162,16 @@ def cmd_train(args):
         streams = [ptq_data.synthetic_corpus(cfg.vocab_size,
                                              args.block_size * 64)]
     data = qdata.chunked_dataset(streams, args.block_size)
+    # hold out the last few chunks as validation (eval ppl = exp(eval_loss),
+    # reference train.py:137-148)
+    n_val = min(4 * args.batch_size, max(len(data) // 10, args.batch_size))
+    if len(data) > n_val:
+        val, data = data[-n_val:], data[:-n_val]
+    else:
+        val = data
+    val_batches = [{"input_ids": val[i:i + args.batch_size]}
+                   for i in range(0, len(val) - args.batch_size + 1,
+                                  args.batch_size)][:4]
     it = qdata.batches(data, args.batch_size, epochs=args.epochs)
 
     mesh = None
@@ -177,8 +187,11 @@ def cmd_train(args):
     lc = loop.LoopConfig(output_dir=args.output_dir,
                          save_steps=args.save_steps,
                          max_steps=args.max_steps)
-    res = loop.run_training(params, teacher, cfg, tc, lc, it, mesh=mesh)
-    print(f"trained to step {res['last_step']}")
+    res = loop.run_training(params, teacher, cfg, tc, lc, it, mesh=mesh,
+                            val_batches=val_batches)
+    print(f"trained to step {res['last_step']}"
+          + (f", eval_ppl={res['eval_ppl']:.4f}" if "eval_ppl" in res
+             else ""))
 
 
 def cmd_generate_data(args):

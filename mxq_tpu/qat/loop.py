@@ -62,7 +62,7 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
                  tc: train_mod.TrainConfig, lc: LoopConfig,
                  data_iter: Iterator[dict],
                  mesh=None, resume: bool = True,
-                 log=print) -> dict:
+                 log=print, val_batches=None) -> dict:
     """Train until data or max_steps runs out; returns final params.
 
     Elastic recovery: on restart with the same output_dir the latest
@@ -115,5 +115,17 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
 
     if step == 0 or step % lc.save_steps != 0:
         save_checkpoint(mgr, step, params, opt_state)
-    return {"params": params, "opt_state": opt_state, "last_step": step,
-            "losses": losses}
+    out = {"params": params, "opt_state": opt_state, "last_step": step,
+           "losses": losses}
+    if val_batches:
+        # end-of-training eval metric = exp(mean eval loss), the reference's
+        # protocol (train.py:137-148)
+        ev = jax.jit(lambda p, b: train_mod.eval_ppl_step(p, b, cfg))
+        tot = 0.0
+        for vb in val_batches:
+            if mesh is not None:
+                vb = sharding.shard_batch(vb, mesh)
+            tot += float(ev(params, vb))
+        out["eval_ppl"] = float(np.exp(tot / len(val_batches)))
+        log(f"eval ppl (exp of mean val loss): {out['eval_ppl']:.4f}")
+    return out
