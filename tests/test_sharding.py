@@ -130,3 +130,29 @@ def test_engine_on_sharded_packed_params():
     r = e.submit(prompt, max_new_tokens=5)
     e.run()
     assert r.generated == r_ref.generated, (r.generated, r_ref.generated)
+
+
+def test_spec_decode_on_sharded_packed_params():
+    """Speculative decoding over tp/fsdp-sharded packed weights matches the
+    unsharded greedy engine exactly."""
+    from mxq_tpu.serving import engine as eng
+    from mxq_tpu.serving import spec
+
+    cfg = llama.LlamaConfig.tiny(num_hidden_layers=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    packed = llama.quantize_params_packed(params, cfg, fuse=True)
+    prompt = np.array([3, 4, 5] * 4, np.int32)
+
+    e_ref = eng.Engine(packed, cfg, eng.EngineConfig(
+        num_slots=2, max_len=32, prefill_buckets=(8,), kv_quant=False,
+        horizon=4))
+    r_ref = e_ref.submit(prompt, max_new_tokens=5)
+    e_ref.run()
+
+    mesh = sharding.make_mesh(dp=1, fsdp=2, tp=2)
+    sp = sharding.shard_params(packed, mesh, packed=True)
+    e = eng.Engine(sp, cfg, eng.EngineConfig(
+        num_slots=2, max_len=32, prefill_buckets=(8,), kv_quant=False))
+    r = e.submit(prompt, max_new_tokens=5)
+    spec.run_spec(e, draft_len=3)
+    assert r.generated == r_ref.generated, (r.generated, r_ref.generated)
