@@ -162,16 +162,19 @@ def cmd_train(args):
         streams = [ptq_data.synthetic_corpus(cfg.vocab_size,
                                              args.block_size * 64)]
     data = qdata.chunked_dataset(streams, args.block_size)
-    # hold out the last few chunks as validation (eval ppl = exp(eval_loss),
-    # reference train.py:137-148)
-    n_val = min(4 * args.batch_size, max(len(data) // 10, args.batch_size))
-    if len(data) > n_val:
-        val, data = data[-n_val:], data[:-n_val]
-    else:
-        val = data
-    val_batches = [{"input_ids": val[i:i + args.batch_size]}
-                   for i in range(0, len(val) - args.batch_size + 1,
-                                  args.batch_size)][:4]
+    # hold out the FIRST chunks as validation (train_valid_split encodes the
+    # reference's first-N-as-valid protocol, datautils.py:52-53; eval ppl =
+    # exp(eval_loss), train.py:137-148) — but never starve training: skip
+    # the holdout entirely when the corpus is too small for both.
+    val_batches = []
+    if len(data) >= 3 * args.batch_size:
+        n_val = min(4 * args.batch_size, len(data) // 3)
+        data, val = qdata.train_valid_split(list(data), n_val)
+        data = np.stack(data)
+        val = np.stack(val)
+        val_batches = [{"input_ids": val[i:i + args.batch_size]}
+                       for i in range(0, len(val) - args.batch_size + 1,
+                                      args.batch_size)][:4]
     it = qdata.batches(data, args.batch_size, epochs=args.epochs)
 
     mesh = None

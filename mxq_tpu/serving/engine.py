@@ -544,8 +544,8 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
     lax.dynamic_update_slice needs a common offset, so per-slot writes use a
     one-hot scatter along the sequence axis instead. ``tokens`` may be
     [B, 1] (decode) or [B, T] (speculative verify: token t of slot b lands
-    at row positions[b] + t and its query attends rows <= positions[b] + t).
-    The int8-KV path supports T=1 only.
+    at row positions[b] + t and its query attends rows <= positions[b] + t),
+    on both the bf16 and int8-KV cache paths.
     """
     b, tt = tokens.shape
     x = params["embed_tokens"][tokens]
@@ -602,22 +602,22 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
             # sequential decode steps' reads, so total traffic is unchanged.
             kc, ks = kvcache.quantize_kv_headmajor(k)   # [B,H,T,D], [B,H,T]
             vc, vs = kvcache.quantize_kv_headmajor(v)
-            rows = jnp.arange(b_)
+            rows = jnp.arange(b_)[:, None]
 
-            def scat(buf, val, ti):
+            def scat(buf, val):
                 # buf [L, B, H, S, ...]; advanced indices (idx, rows,
-                # positions) with the H slice between put updates at
-                # (idx, rows[b], :, posmat[b, ti])
-                return buf.at[idx, rows, :, posmat[:, ti]].set(
-                    val[:, :, ti].astype(buf.dtype))
+                # posmat) with the H slice between put ALL T rows at once
+                # at (idx, rows[b], :, posmat[b, t]) — one stacked scatter
+                # per buffer, matching the bf16 branch
+                return buf.at[idx, rows, :, posmat].set(
+                    jnp.moveaxis(val, 2, 1).astype(buf.dtype))
 
-            for ti in range(t):
-                cache = {
-                    "k_codes": scat(cache["k_codes"], kc, ti),
-                    "k_scale": scat(cache["k_scale"], ks, ti),
-                    "v_codes": scat(cache["v_codes"], vc, ti),
-                    "v_scale": scat(cache["v_scale"], vs, ti),
-                }
+            cache = {
+                "k_codes": scat(cache["k_codes"], kc),
+                "k_scale": scat(cache["k_scale"], ks),
+                "v_codes": scat(cache["v_codes"], vc),
+                "v_scale": scat(cache["v_scale"], vs),
+            }
             layer_view = {kk: jax.lax.dynamic_index_in_dim(
                 cache[kk], idx, 0, keepdims=False)
                 for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}

@@ -21,11 +21,13 @@ from bench import packed_params, bench_decode, BATCH, autotune_layout
 
 
 CONFIGS = {
+    # name: (config factory, full depth or None, measured depths)
+    # full depth None = report the per-layer cost only (the full model does
+    # not fit one chip; single-chip extrapolation would be fiction)
     "7b": (llama.LlamaConfig.llama2_7b, 32, (32,)),
     # 13B packed ~5.8 GB + caches: measure depth 20 and 40-extrapolate
     "13b": (llama.LlamaConfig.llama2_13b, 40, (10, 20)),
-    # 70B-GQA: per-layer cost at depth 4/8 (full model is multi-host)
-    "70b": (llama.LlamaConfig.llama2_70b, 80, (4, 8)),
+    "70b": (llama.LlamaConfig.llama2_70b, None, (4, 8)),
 }
 
 
@@ -40,6 +42,9 @@ def main():
     mm.GEMV_LAYOUT = layout
     print("layout:", layout, {k: v for k, v in times.items()}, flush=True)
     for name in args.configs.split(","):
+        if name not in CONFIGS:
+            print(f"{name}: unknown config (choices: {sorted(CONFIGS)})")
+            continue
         mk, full_depth, depths = CONFIGS[name]
         ts = {}
         for nl in depths:
@@ -48,6 +53,14 @@ def main():
             ts[nl] = bench_decode(cfg, params)
             del params
             jax.clear_caches()
+        meas = {k: round(v * 1e3, 2) for k, v in ts.items()}
+        if full_depth is None:
+            (d1, t1), (d2, t2) = sorted(ts.items())
+            per_layer = (t2 - t1) / (d2 - d1)
+            print(f"{name}: {per_layer*1e6:.0f} us/layer/step per chip "
+                  f"(full model is a multi-host deployment; measured "
+                  f"depths: {meas})", flush=True)
+            continue
         if len(ts) == 2:
             (d1, t1), (d2, t2) = sorted(ts.items())
             per_layer = (t2 - t1) / (d2 - d1)
@@ -56,8 +69,7 @@ def main():
             t_full = ts[depths[0]]
         print(f"{name}: {t_full*1e3:.2f} ms/step (depth {full_depth}"
               f"{' extrapolated' if len(ts) == 2 else ''}), "
-              f"{BATCH/t_full:.0f} tok/s/chip "
-              f"(measured depths: { {k: round(v*1e3,2) for k,v in ts.items()} })",
+              f"{BATCH/t_full:.0f} tok/s/chip (measured depths: {meas})",
               flush=True)
 
 
