@@ -139,3 +139,92 @@ def tp_decode_layer(mesh, x_sh, layer, cache, positions, cfg,
         positions)
     x_sh, ck, cv = out
     return x_sh, {"k": ck, "v": cv}
+
+
+def tp_prefill_layer(mesh, x_sh, layer, cache, cfg, matmul: Callable):
+    """One overlapped TP decoder-layer PREFILL pass (T tokens per slot at
+    positions 0..T-1) — the same ring dataflow as tp_decode_layer with
+    causal attention over the fresh tokens. Activations [B, T, H/tp] stay
+    K-sharded between blocks; the matmul rings see [B*T, cols] rows.
+
+    Returns (x_sh, cache) with rows 0..T-1 of the head-sharded cache
+    written. Compute-bound prefill benefits less from hand overlap than
+    decode, but the rings keep the weight traffic pattern identical across
+    phases (one code path to tune on hardware).
+    """
+    h_dim = cfg.hidden_size
+    nh, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    tp = mesh.shape["tp"]
+    n_ktl = h_dim // overlap.KT_COLS // tp
+
+    def spec(w, kind):
+        if isinstance(w, PackedMXQLinear):
+            return overlap.packed_specs(w, kind)
+        return P(None, "tp") if kind == "n" else P("tp", None)
+
+    def fn(x, q_w, k_w, v_w, o_w, g_w, u_w, d_w, ln1, ln2, ck, cv):
+        b, t, _ = x.shape
+        nh_l, nkv_l = nh // tp, nkv // tp
+
+        h = _sharded_rms_norm(x, ln1, h_dim, cfg.rms_norm_eps, "tp")
+        hf = h.reshape(b * t, -1)
+        q, k, v = overlap.allgather_matmul(hf, (q_w, k_w, v_w), matmul,
+                                           "tp", n_ktiles_local=n_ktl)
+        q = q[..., : nh_l * d].reshape(b, t, nh_l, d)
+        k = k[..., : nkv_l * d].reshape(b, t, nkv_l, d)
+        v = v[..., : nkv_l * d].reshape(b, t, nkv_l, d)
+        pos = jnp.arange(t, dtype=jnp.float32)[None].repeat(b, 0)
+        cos, sin = llama.rope_tables(cfg, pos)
+        q, k = llama.apply_rope(q, k, cos.astype(q.dtype),
+                                sin.astype(q.dtype))
+
+        ck = ck.at[:, :t].set(k.astype(ck.dtype))
+        cv = cv.at[:, :t].set(v.astype(cv.dtype))
+        kk, vv = k, v
+        if nkv_l != nh_l:
+            rep = nh_l // nkv_l
+            kk = jnp.repeat(kk, rep, axis=2)
+            vv = jnp.repeat(vv, rep, axis=2)
+        qf = q.transpose(0, 2, 1, 3).astype(jnp.float32)       # [B,Hl,T,D]
+        kf = kk.transpose(0, 2, 1, 3).astype(jnp.float32)
+        st = jnp.einsum("bhtd,bhsd->bhts", qf, kf) / np.sqrt(d)
+        causal = (jnp.arange(t)[None, :] <= jnp.arange(t)[:, None])
+        st = jnp.where(causal[None, None], st, jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(st, axis=-1)
+        ctx = jnp.einsum("bhts,bhsd->bhtd", p,
+                         vv.transpose(0, 2, 1, 3).astype(jnp.float32))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b * t, nh_l * d).astype(
+            x.dtype)
+
+        xf = x.reshape(b * t, -1)
+        xf = xf + overlap.matmul_reducescatter(ctx, o_w, matmul, "tp",
+                                               chunk_cols=h_dim // tp)
+        h2 = _sharded_rms_norm(xf, ln2, h_dim, cfg.rms_norm_eps, "tp")
+        g, u = overlap.allgather_matmul(h2, (g_w, u_w), matmul, "tp",
+                                        n_ktiles_local=n_ktl)
+        inter_l = (overlap.localize(g_w).out_features
+                   if isinstance(g_w, PackedMXQLinear) else g_w.shape[1])
+        act = (jax.nn.silu(g[..., :inter_l].astype(jnp.float32))
+               * u[..., :inter_l].astype(jnp.float32)).astype(x.dtype)
+        xf = xf + overlap.matmul_reducescatter(act, d_w, matmul, "tp",
+                                               chunk_cols=h_dim // tp)
+        return xf.reshape(b, t, -1), ck, cv
+
+    cache_spec = P(None, None, "tp", None)     # [B, S, H_kv, D]
+    out = shard_map.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, None, "tp"),
+                  spec(layer["q_proj"], "n"), spec(layer["k_proj"], "n"),
+                  spec(layer["v_proj"], "n"), spec(layer["o_proj"], "k"),
+                  spec(layer["gate_proj"], "n"), spec(layer["up_proj"], "n"),
+                  spec(layer["down_proj"], "k"),
+                  P("tp"), P("tp"), cache_spec, cache_spec),
+        out_specs=(P(None, None, "tp"), cache_spec, cache_spec),
+        check_rep=False)(
+        x_sh, layer["q_proj"], layer["k_proj"], layer["v_proj"],
+        layer["o_proj"], layer["gate_proj"], layer["up_proj"],
+        layer["down_proj"], layer["input_layernorm"],
+        layer["post_attention_layernorm"], cache["k"], cache["v"])
+    x_sh, ck, cv = out
+    return x_sh, {"k": ck, "v": cv}

@@ -252,3 +252,112 @@ def test_tp_decoder_layer_packed():
     err = (np.abs(np.asarray(y) - np.asarray(y_ref)).max()
            / (np.abs(np.asarray(y_ref)).max() + 1e-9))
     assert err < 3e-2, err
+
+
+def _ref_prefill_layer(x, lw, cache, cfg):
+    """Single-device prefill-layer oracle (dense weights), positions 0..T-1."""
+    from mxq_tpu.models import llama
+    b, t, _ = x.shape
+    nh, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    h = llama.rms_norm(x, lw["input_layernorm"], cfg.rms_norm_eps)
+    q = (h @ lw["q_proj"]).reshape(b, t, nh, d)
+    k = (h @ lw["k_proj"]).reshape(b, t, nkv, d)
+    v = (h @ lw["v_proj"]).reshape(b, t, nkv, d)
+    pos = jnp.arange(t, dtype=jnp.float32)[None].repeat(b, 0)
+    cos, sin = llama.rope_tables(cfg, pos)
+    q, k = llama.apply_rope(q, k, cos.astype(q.dtype), sin.astype(q.dtype))
+    ck = cache["k"].at[:, :t].set(k)
+    cv = cache["v"].at[:, :t].set(v)
+    kk, vv = k, v
+    if nkv != nh:
+        rep = nh // nkv
+        kk = jnp.repeat(kk, rep, axis=2)
+        vv = jnp.repeat(vv, rep, axis=2)
+    qf = q.transpose(0, 2, 1, 3).astype(jnp.float32)
+    kf = kk.transpose(0, 2, 1, 3).astype(jnp.float32)
+    st = jnp.einsum("bhtd,bhsd->bhts", qf, kf) / np.sqrt(d)
+    causal = (jnp.arange(t)[None, :] <= jnp.arange(t)[:, None])
+    st = jnp.where(causal[None, None], st, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(st, axis=-1)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", p,
+                     vv.transpose(0, 2, 1, 3).astype(jnp.float32))
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, nh * d).astype(x.dtype)
+    x = x + ctx @ lw["o_proj"]
+    h2 = llama.rms_norm(x, lw["post_attention_layernorm"], cfg.rms_norm_eps)
+    act = (jax.nn.silu((h2 @ lw["gate_proj"]).astype(jnp.float32))
+           * (h2 @ lw["up_proj"]).astype(jnp.float32)).astype(x.dtype)
+    x = x + act @ lw["down_proj"]
+    return x, {"k": ck, "v": cv}
+
+
+def test_tp_prefill_layer_dense_matches_reference():
+    from mxq_tpu.models import llama
+    from mxq_tpu.parallel import tp_layer
+
+    cfg = llama.LlamaConfig.tiny(hidden_size=2048, intermediate_size=2048,
+                                 num_attention_heads=16,
+                                 num_key_value_heads=16, vocab_size=128)
+    tp = 2
+    rng = np.random.RandomState(12)
+    h = cfg.hidden_size
+
+    def w(i, o):
+        return jnp.asarray(rng.randn(i, o).astype(np.float32)) * 0.02
+
+    lw = {"q_proj": w(h, h), "k_proj": w(h, h), "v_proj": w(h, h),
+          "o_proj": w(h, h), "gate_proj": w(h, cfg.intermediate_size),
+          "up_proj": w(h, cfg.intermediate_size),
+          "down_proj": w(cfg.intermediate_size, h),
+          "input_layernorm": jnp.ones((h,), jnp.float32),
+          "post_attention_layernorm": jnp.ones((h,), jnp.float32)}
+    b, t, s = 2, 8, 16
+    x = jnp.asarray(rng.randn(b, t, h).astype(np.float32)) * 0.3
+    cache = {"k": jnp.zeros((b, s, 16, cfg.head_dim), jnp.float32),
+             "v": jnp.zeros((b, s, 16, cfg.head_dim), jnp.float32)}
+    y_ref, c_ref = _ref_prefill_layer(x, lw, cache, cfg)
+
+    mesh = sharding.make_mesh(dp=1, fsdp=1, tp=tp)
+    y, c = tp_layer.tp_prefill_layer(mesh, x, lw, cache, cfg,
+                                     lambda a, b_: a @ b_)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(c["k"]), np.asarray(c_ref["k"]),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_tp_prefill_layer_packed():
+    from mxq_tpu.models import llama
+    from mxq_tpu.parallel import tp_layer
+
+    cfg = llama.LlamaConfig.tiny(hidden_size=2048, intermediate_size=2048,
+                                 num_attention_heads=16,
+                                 num_key_value_heads=16, vocab_size=128)
+    rng = np.random.RandomState(13)
+    h = cfg.hidden_size
+
+    def pw(i, o):
+        return packfmt.quantize_pack(
+            jnp.asarray(rng.randn(o, i).astype(np.float32)) * 0.05, CFG)
+
+    lw = {n: pw(h, h) for n in ("q_proj", "k_proj", "v_proj", "o_proj")}
+    lw["gate_proj"] = pw(h, cfg.intermediate_size)
+    lw["up_proj"] = pw(h, cfg.intermediate_size)
+    lw["down_proj"] = pw(cfg.intermediate_size, h)
+    lw["input_layernorm"] = jnp.ones((h,), jnp.float32)
+    lw["post_attention_layernorm"] = jnp.ones((h,), jnp.float32)
+    dense = {k: (packfmt.unpack_dequant(v, CFG)
+                 if isinstance(v, packfmt.PackedMXQLinear) else v)
+             for k, v in lw.items()}
+    b, t, s = 2, 8, 16
+    x = jnp.asarray(rng.randn(b, t, h).astype(np.float32)) * 0.3
+    cache = {"k": jnp.zeros((b, s, 16, cfg.head_dim), jnp.float32),
+             "v": jnp.zeros((b, s, 16, cfg.head_dim), jnp.float32)}
+    y_ref, _ = _ref_prefill_layer(x, dense, cache, cfg)
+
+    mesh = sharding.make_mesh(dp=1, fsdp=1, tp=2)
+    y, _ = tp_layer.tp_prefill_layer(
+        mesh, x, lw, cache, cfg, lambda a, p: mm.mxq_matmul(a, p, CFG))
+    err = (np.abs(np.asarray(y) - np.asarray(y_ref)).max()
+           / (np.abs(np.asarray(y_ref)).max() + 1e-9))
+    assert err < 3e-2, err
