@@ -276,12 +276,21 @@ def cmd_serve(args):
     cfg, params = _load_model(args, w_bits=args.w_bits)
     if args.packed:
         params = llama.quantize_params_packed(params, cfg)
-    e = eng.Engine(params, cfg, eng.EngineConfig(
-        num_slots=args.slots, max_len=args.max_len,
-        kv_quant=args.kv_bits < 32, prefill_a8=args.prefill_a8,
-        greedy=args.temperature == 0.0,
-        temperature=args.temperature or 1.0,
-        top_k=args.top_k, top_p=args.top_p, seed=args.seed))
+    if args.paged:
+        from mxq_tpu.serving.paged import PagedEngine
+        e = PagedEngine(params, cfg, num_slots=args.slots,
+                        total_pages=max(args.slots * args.max_len // 64, 8),
+                        page_size=64, max_len=args.max_len,
+                        greedy=args.temperature == 0.0,
+                        temperature=args.temperature or 1.0,
+                        top_k=args.top_k, top_p=args.top_p, seed=args.seed)
+    else:
+        e = eng.Engine(params, cfg, eng.EngineConfig(
+            num_slots=args.slots, max_len=args.max_len,
+            kv_quant=args.kv_bits < 32, prefill_a8=args.prefill_a8,
+            greedy=args.temperature == 0.0,
+            temperature=args.temperature or 1.0,
+            top_k=args.top_k, top_p=args.top_p, seed=args.seed))
     rng = np.random.RandomState(0)
     reqs = [e.submit(rng.randint(0, cfg.vocab_size,
                                  size=args.prompt_len).astype(np.int32),
@@ -290,6 +299,9 @@ def cmd_serve(args):
     import time
     t0 = time.time()
     if args.spec_decode:
+        if args.paged:
+            raise SystemExit("--spec_decode applies to the slot engine "
+                             "(drop --paged)")
         from mxq_tpu.serving import spec
         done = spec.run_spec(e, draft_len=args.draft_len)
     else:
@@ -297,9 +309,10 @@ def cmd_serve(args):
     dt = time.time() - t0
     total = sum(len(r.generated) for r in done)
     out = {"requests": len(done), "tokens": total,
-           "tokens_per_sec": total / dt,
-           "stats": {k: round(v, 4) if isinstance(v, float) else v
-                     for k, v in e.stats().items()}}
+           "tokens_per_sec": total / dt}
+    if hasattr(e, "stats"):
+        out["stats"] = {k: round(v, 4) if isinstance(v, float) else v
+                        for k, v in e.stats().items()}
     print(json.dumps(out))
 
 
@@ -418,9 +431,10 @@ def main(argv=None):
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--spec_decode", action="store_true",
-                   help="prompt-lookup speculative decoding (greedy, "
-                        "bf16 KV only)")
+                   help="prompt-lookup speculative decoding (greedy)")
     p.add_argument("--draft_len", type=int, default=4)
+    p.add_argument("--paged", action="store_true",
+                   help="vLLM-style paged engine instead of the slot engine")
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
