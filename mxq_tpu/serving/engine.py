@@ -192,6 +192,7 @@ class Engine:
         self._uid = 0
         self._chunk_no = 0                       # PRNG stream for sampling
         self._pending_first = {}                 # slot -> device first token
+        self._stream_buf = None                  # set by stream()
         self._key_decode, self._key_prefill = jax.random.split(
             jax.random.PRNGKey(ecfg.seed))
 
@@ -469,6 +470,8 @@ class Engine:
             first = int(fd)
             req = self._reqs[uid]
             req.generated.append(first)
+            if self._stream_buf is not None:
+                self._stream_buf.append((req, first))
             if not req.t_first:
                 req.t_first = time.monotonic()
             self._last_tok[s] = first
@@ -496,6 +499,8 @@ class Engine:
                 tok = int(toks[i, s])
                 req = self._reqs[uid]
                 req.generated.append(tok)
+                if self._stream_buf is not None:
+                    self._stream_buf.append((req, tok))
                 if not req.t_first:
                     req.t_first = now
                 self._last_tok[s] = tok
@@ -536,6 +541,29 @@ class Engine:
                 self._admit(done)
             self._inflight = nxt
         return done
+
+    def stream(self):
+        """Generator over (request, token) pairs as the pipelined loop
+        observes them — the incremental-delivery form of run(). Tokens of
+        one request arrive in order; tokens of different requests interleave
+        by chunk. The request's ``done`` flag is set by the time its last
+        token is yielded."""
+        self._stream_buf = buf = []
+        try:
+            h = max(1, self.ecfg.horizon)
+            self._admit([])
+            while (self._inflight is not None or self._active_mask().any()
+                   or self._sched.pending > 0):
+                nxt = self._dispatch(h)
+                if self._inflight is not None:
+                    self._process_inflight()
+                elif nxt is None:
+                    self._admit([])
+                self._inflight = nxt
+                while buf:
+                    yield buf.pop(0)
+        finally:
+            self._stream_buf = None
 
 
 def _forward_multipos(params, tokens, cfg, caches, positions):

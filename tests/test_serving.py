@@ -230,6 +230,29 @@ class TestStats:
         assert s["tokens_per_sec"] > 0
 
 
+class TestStream:
+    def test_stream_yields_same_tokens_as_run(self):
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompts = [np.arange(1, 6, dtype=np.int32) + i for i in range(3)]
+
+        e1 = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False,
+            horizon=3))
+        r_run = [e1.submit(p, max_new_tokens=4) for p in prompts]
+        e1.run()
+
+        e2 = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False,
+            horizon=3))
+        r_st = [e2.submit(p, max_new_tokens=4) for p in prompts]
+        seen = {r.uid: [] for r in r_st}
+        for req, tok in e2.stream():
+            seen[req.uid].append(tok)
+        for ra, rb in zip(r_run, r_st):
+            assert seen[rb.uid] == ra.generated  # same tokens, in order
+            assert rb.done and rb.generated == ra.generated
+
+
 class TestCancel:
     def test_cancel_queued_and_running(self):
         params = llama.init_params(CFG, jax.random.PRNGKey(0))
