@@ -302,6 +302,33 @@ class TestEngineSoak:
             assert req.generated[:want] == ref, (len(prompt), n_new)
 
 
+class TestPagedSoak:
+    def test_paged_random_workload_matches_greedy(self):
+        """Paged-engine soak: random-length requests through 2 slots must
+        reproduce the greedy reference exactly (page churn, chunked paged
+        prefill, slot reuse)."""
+        from mxq_tpu.serving.paged import PagedEngine
+        params = llama.init_params(CFG, jax.random.PRNGKey(4))
+        rng = np.random.RandomState(13)
+        specs = [(rng.randint(2, 40), rng.randint(1, 6)) for _ in range(8)]
+        pe = PagedEngine(params, CFG, num_slots=2, total_pages=16,
+                         page_size=16, max_len=64, prefill_bucket=16,
+                         horizon=3)
+        reqs = []
+        for plen, n_new in specs:
+            prompt = rng.randint(1, CFG.vocab_size, size=plen).astype(
+                np.int32)
+            reqs.append((pe.submit(prompt, max_new_tokens=n_new), prompt,
+                         n_new))
+        pe.run()
+        for req, prompt, n_new in reqs:
+            want = min(n_new, max(1, 60 - len(prompt)))
+            ref = greedy_reference(params, CFG, prompt[-63:], want)
+            got = req.generated[:want]
+            assert got == ref[:len(got)] and len(got) >= 1, (len(prompt),
+                                                             n_new)
+
+
 class TestSampling:
     def _engine(self, params, **kw):
         base = dict(num_slots=2, max_len=64, prefill_buckets=(16,),
