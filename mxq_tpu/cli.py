@@ -273,14 +273,23 @@ def cmd_serve(args):
     from mxq_tpu.serving import engine as eng
     from mxq_tpu.models import llama
 
+    if args.paged and args.spec_decode:
+        raise SystemExit("--spec_decode applies to the slot engine "
+                         "(drop --paged)")
+    if args.paged and (args.kv_bits < 32 or args.prefill_a8):
+        print("note: --paged uses bf16 KV pages; --kv_bits/--prefill_a8 "
+              "apply to the slot engine only", flush=True)
     cfg, params = _load_model(args, w_bits=args.w_bits)
     if args.packed:
         params = llama.quantize_params_packed(params, cfg)
     if args.paged:
         from mxq_tpu.serving.paged import PagedEngine
+        ps = 64
+        # +1: page 0 is the reserved null page (PagedPool.create)
+        pages = args.slots * (-(-args.max_len // ps)) + 1
         e = PagedEngine(params, cfg, num_slots=args.slots,
-                        total_pages=max(args.slots * args.max_len // 64, 8),
-                        page_size=64, max_len=args.max_len,
+                        total_pages=pages,
+                        page_size=ps, max_len=args.max_len,
                         greedy=args.temperature == 0.0,
                         temperature=args.temperature or 1.0,
                         top_k=args.top_k, top_p=args.top_p, seed=args.seed)
@@ -299,9 +308,6 @@ def cmd_serve(args):
     import time
     t0 = time.time()
     if args.spec_decode:
-        if args.paged:
-            raise SystemExit("--spec_decode applies to the slot engine "
-                             "(drop --paged)")
         from mxq_tpu.serving import spec
         done = spec.run_spec(e, draft_len=args.draft_len)
     else:

@@ -50,6 +50,33 @@ def _sharded_rms_norm(x_sh, gamma_sh, hidden: int, eps: float,
     return (xf * jax.lax.rsqrt(var + eps)).astype(x_sh.dtype) * gamma_sh
 
 
+def _wspec(w, kind):
+    """shard_map spec for a projection weight: column-parallel ("n") or
+    row-parallel ("k"), packed or dense."""
+    if isinstance(w, PackedMXQLinear):
+        return overlap.packed_specs(w, kind)
+    return P(None, "tp") if kind == "n" else P("tp", None)
+
+
+def _ffn_half(xf, ctx, o_w, g_w, u_w, d_w, ln2, cfg, matmul, n_ktl):
+    """Shared post-attention half of one decoder layer on [rows, H/tp]
+    activations: o_proj riding the reduce-scatter ring, sharded RMS norm,
+    gate/up on one activation ring, silu*up, down on the reduce-scatter
+    ring. Returns the layer output, K-sharded like the input."""
+    h_dim = cfg.hidden_size
+    xf = xf + overlap.matmul_reducescatter(ctx, o_w, matmul, "tp",
+                                           chunk_cols=xf.shape[-1])
+    h2 = _sharded_rms_norm(xf, ln2, h_dim, cfg.rms_norm_eps, "tp")
+    g, u = overlap.allgather_matmul(h2, (g_w, u_w), matmul, "tp",
+                                    n_ktiles_local=n_ktl)
+    inter_l = (overlap.localize(g_w).out_features
+               if isinstance(g_w, PackedMXQLinear) else g_w.shape[1])
+    act = (jax.nn.silu(g[..., :inter_l].astype(jnp.float32))
+           * u[..., :inter_l].astype(jnp.float32)).astype(xf.dtype)
+    return xf + overlap.matmul_reducescatter(act, d_w, matmul, "tp",
+                                             chunk_cols=xf.shape[-1])
+
+
 def tp_decode_layer(mesh, x_sh, layer, cache, positions, cfg,
                     matmul: Callable):
     """One overlapped TP decoder-layer decode step.
@@ -65,11 +92,6 @@ def tp_decode_layer(mesh, x_sh, layer, cache, positions, cfg,
                   cfg.head_dim)
     tp = mesh.shape["tp"]
     n_ktl = h_dim // overlap.KT_COLS // tp
-
-    def spec(w, kind):
-        if isinstance(w, PackedMXQLinear):
-            return overlap.packed_specs(w, kind)
-        return P(None, "tp") if kind == "n" else P("tp", None)
 
     def fn(x, q_w, k_w, v_w, o_w, g_w, u_w, d_w, ln1, ln2, ck, cv, pos):
         b = x.shape[0]
@@ -104,31 +126,19 @@ def tp_decode_layer(mesh, x_sh, layer, cache, positions, cfg,
                          vv.transpose(0, 2, 1, 3).astype(jnp.float32))
         ctx = ctx.reshape(b, nh_l * d).astype(x.dtype)
 
-        # o_proj row-parallel: ctx is head(=K)-sharded, output K-sharded
-        x = x + overlap.matmul_reducescatter(ctx, o_w, matmul, "tp",
-                                             chunk_cols=h_dim // tp)
-
-        h2 = _sharded_rms_norm(x, ln2, h_dim, cfg.rms_norm_eps, "tp")
-        g, u = overlap.allgather_matmul(h2, (g_w, u_w), matmul, "tp",
-                                        n_ktiles_local=n_ktl)
-        # g_w here is already the LOCAL shard: its real local width is the
-        # localized out_features (packed) / trailing dim (dense)
-        inter_l = (overlap.localize(g_w).out_features
-                   if isinstance(g_w, PackedMXQLinear) else g_w.shape[1])
-        act = (jax.nn.silu(g[..., :inter_l].astype(jnp.float32))
-               * u[..., :inter_l].astype(jnp.float32)).astype(x.dtype)
-        x = x + overlap.matmul_reducescatter(act, d_w, matmul, "tp",
-                                             chunk_cols=h_dim // tp)
+        # o_proj row-parallel (ctx is head(=K)-sharded) + MLP, shared with
+        # the prefill layer
+        x = _ffn_half(x, ctx, o_w, g_w, u_w, d_w, ln2, cfg, matmul, n_ktl)
         return x, ck, cv
 
     cache_spec = P(None, None, "tp", None)     # [B, S, H_kv, D]
     out = shard_map.shard_map(
         fn, mesh=mesh,
         in_specs=(P(None, "tp"),
-                  spec(layer["q_proj"], "n"), spec(layer["k_proj"], "n"),
-                  spec(layer["v_proj"], "n"), spec(layer["o_proj"], "k"),
-                  spec(layer["gate_proj"], "n"), spec(layer["up_proj"], "n"),
-                  spec(layer["down_proj"], "k"),
+                  _wspec(layer["q_proj"], "n"), _wspec(layer["k_proj"], "n"),
+                  _wspec(layer["v_proj"], "n"), _wspec(layer["o_proj"], "k"),
+                  _wspec(layer["gate_proj"], "n"), _wspec(layer["up_proj"], "n"),
+                  _wspec(layer["down_proj"], "k"),
                   P("tp"), P("tp"), cache_spec, cache_spec, P(None)),
         out_specs=(P(None, "tp"), cache_spec, cache_spec),
         check_rep=False)(
@@ -157,11 +167,6 @@ def tp_prefill_layer(mesh, x_sh, layer, cache, cfg, matmul: Callable):
                   cfg.head_dim)
     tp = mesh.shape["tp"]
     n_ktl = h_dim // overlap.KT_COLS // tp
-
-    def spec(w, kind):
-        if isinstance(w, PackedMXQLinear):
-            return overlap.packed_specs(w, kind)
-        return P(None, "tp") if kind == "n" else P("tp", None)
 
     def fn(x, q_w, k_w, v_w, o_w, g_w, u_w, d_w, ln1, ln2, ck, cv):
         b, t, _ = x.shape
@@ -197,28 +202,18 @@ def tp_prefill_layer(mesh, x_sh, layer, cache, cfg, matmul: Callable):
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b * t, nh_l * d).astype(
             x.dtype)
 
-        xf = x.reshape(b * t, -1)
-        xf = xf + overlap.matmul_reducescatter(ctx, o_w, matmul, "tp",
-                                               chunk_cols=h_dim // tp)
-        h2 = _sharded_rms_norm(xf, ln2, h_dim, cfg.rms_norm_eps, "tp")
-        g, u = overlap.allgather_matmul(h2, (g_w, u_w), matmul, "tp",
-                                        n_ktiles_local=n_ktl)
-        inter_l = (overlap.localize(g_w).out_features
-                   if isinstance(g_w, PackedMXQLinear) else g_w.shape[1])
-        act = (jax.nn.silu(g[..., :inter_l].astype(jnp.float32))
-               * u[..., :inter_l].astype(jnp.float32)).astype(x.dtype)
-        xf = xf + overlap.matmul_reducescatter(act, d_w, matmul, "tp",
-                                               chunk_cols=h_dim // tp)
+        xf = _ffn_half(x.reshape(b * t, -1), ctx, o_w, g_w, u_w, d_w, ln2,
+                       cfg, matmul, n_ktl)
         return xf.reshape(b, t, -1), ck, cv
 
     cache_spec = P(None, None, "tp", None)     # [B, S, H_kv, D]
     out = shard_map.shard_map(
         fn, mesh=mesh,
         in_specs=(P(None, None, "tp"),
-                  spec(layer["q_proj"], "n"), spec(layer["k_proj"], "n"),
-                  spec(layer["v_proj"], "n"), spec(layer["o_proj"], "k"),
-                  spec(layer["gate_proj"], "n"), spec(layer["up_proj"], "n"),
-                  spec(layer["down_proj"], "k"),
+                  _wspec(layer["q_proj"], "n"), _wspec(layer["k_proj"], "n"),
+                  _wspec(layer["v_proj"], "n"), _wspec(layer["o_proj"], "k"),
+                  _wspec(layer["gate_proj"], "n"), _wspec(layer["up_proj"], "n"),
+                  _wspec(layer["down_proj"], "k"),
                   P("tp"), P("tp"), cache_spec, cache_spec),
         out_specs=(P(None, None, "tp"), cache_spec, cache_spec),
         check_rep=False)(

@@ -530,40 +530,38 @@ class Engine:
         """Drain queue + slots to completion with the pipelined loop: chunk
         k+1 is dispatched before chunk k's tokens are fetched."""
         done: list[Request] = []
-        h = max(1, self.ecfg.horizon)
-        self._admit(done)
-        while (self._inflight is not None or self._active_mask().any()
-               or self._sched.pending > 0):
-            nxt = self._dispatch(h)
-            if self._inflight is not None:
-                done.extend(self._process_inflight())
-            elif nxt is None:
-                self._admit(done)
-            self._inflight = nxt
+        for req, _ in self.stream(_finished=done):
+            pass
         return done
 
-    def stream(self):
+    def stream(self, _finished: list | None = None):
         """Generator over (request, token) pairs as the pipelined loop
-        observes them — the incremental-delivery form of run(). Tokens of
-        one request arrive in order; tokens of different requests interleave
-        by chunk. The request's ``done`` flag is set by the time its last
-        token is yielded."""
+        observes them — the incremental-delivery form of run() (which is
+        implemented on top of this, so there is exactly one drain loop).
+        Tokens of one request arrive in order; tokens of different requests
+        interleave by chunk. The request's ``done`` flag is set by the time
+        its last token is yielded."""
+        prev = self._stream_buf
         self._stream_buf = buf = []
+        fin = _finished if _finished is not None else []
         try:
             h = max(1, self.ecfg.horizon)
-            self._admit([])
+            self._admit(fin)
             while (self._inflight is not None or self._active_mask().any()
                    or self._sched.pending > 0):
                 nxt = self._dispatch(h)
                 if self._inflight is not None:
-                    self._process_inflight()
+                    fin.extend(self._process_inflight())
                 elif nxt is None:
-                    self._admit([])
+                    self._admit(fin)
                 self._inflight = nxt
                 while buf:
                     yield buf.pop(0)
         finally:
-            self._stream_buf = None
+            # restore only if this generator still owns the buffer (an
+            # abandoned generator must not clobber a newer stream())
+            if self._stream_buf is buf:
+                self._stream_buf = prev
 
 
 def _forward_multipos(params, tokens, cfg, caches, positions):

@@ -44,7 +44,9 @@ class PagedPool:
                dtype=jnp.bfloat16) -> "PagedPool":
         l, kvh, d = (cfg.num_hidden_layers, cfg.num_key_value_heads,
                      cfg.head_dim)
-        pages_per_seq = max_len // page_size
+        # round UP: a non-multiple max_len must not silently shrink the
+        # per-sequence capacity below max_len
+        pages_per_seq = -(-max_len // page_size)
         shape = (l, kvh, total_pages, page_size, d)
         return cls(
             k_pages=jnp.zeros(shape, dtype),

@@ -399,3 +399,39 @@ def test_tp_decode_layer_gqa():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(c["k"]), np.asarray(c_ref["k"]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_tp_prefill_layer_gqa():
+    """GQA through the overlapped TP prefill layer (70B shape class)."""
+    from mxq_tpu.models import llama
+    from mxq_tpu.parallel import tp_layer
+
+    cfg = llama.LlamaConfig.tiny(hidden_size=2048, intermediate_size=2048,
+                                 num_attention_heads=16,
+                                 num_key_value_heads=4, vocab_size=128)
+    rng = np.random.RandomState(15)
+    h = cfg.hidden_size
+    kv = cfg.num_key_value_heads * cfg.head_dim
+
+    def w(i, o):
+        return jnp.asarray(rng.randn(i, o).astype(np.float32)) * 0.02
+
+    lw = {"q_proj": w(h, h), "k_proj": w(h, kv), "v_proj": w(h, kv),
+          "o_proj": w(h, h), "gate_proj": w(h, cfg.intermediate_size),
+          "up_proj": w(h, cfg.intermediate_size),
+          "down_proj": w(cfg.intermediate_size, h),
+          "input_layernorm": jnp.ones((h,), jnp.float32),
+          "post_attention_layernorm": jnp.ones((h,), jnp.float32)}
+    b, t, s = 2, 8, 16
+    x = jnp.asarray(rng.randn(b, t, h).astype(np.float32)) * 0.3
+    cache = {"k": jnp.zeros((b, s, 4, cfg.head_dim), jnp.float32),
+             "v": jnp.zeros((b, s, 4, cfg.head_dim), jnp.float32)}
+    y_ref, c_ref = _ref_prefill_layer(x, lw, cache, cfg)
+
+    mesh = sharding.make_mesh(dp=1, fsdp=1, tp=2)
+    y, c = tp_layer.tp_prefill_layer(mesh, x, lw, cache, cfg,
+                                     lambda a, b_: a @ b_)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(c["k"]), np.asarray(c_ref["k"]),
+                               rtol=2e-3, atol=2e-3)
