@@ -107,30 +107,40 @@ def autotune_layout(key):
     p = random_packed_linear(key, k, 11008)
     xb = jnp.ones((BATCH, k), jnp.bfloat16)
     xr = jax.random.normal(key, (BATCH, k), jnp.float32)
-    # on-device numeric parity gate: a layout must reproduce the slab
-    # result before its timing can win the headline (guards against a
-    # backend lowering ever ordering the bitcast bytes differently than
-    # the CPU-interpret tests validate)
-    y_slab = mm.mxq_matmul(xr, p, layout="slab")
-    scale = float(jnp.max(jnp.abs(y_slab))) + 1e-9
+    # On-device numeric parity gate: every layout (slab included) must match
+    # the exact dequant-then-matmul reference before its timing can win the
+    # headline. Tolerance: the MXU rounds the f32 dequantized weights to
+    # bf16 inside dot_general at default precision, which costs ~4.7e-3
+    # max-rel (measured; under precision=float32 every layout agrees with
+    # the f64 reference to ~3e-7 — tools/probe_quad_parity.py). The 2e-2
+    # gate sits above that rounding envelope and far below the O(1) error a
+    # byte-order / lowering bug would produce. The round-2 gate compared
+    # quad against slab at 2e-3 — tighter than two INDEPENDENT bf16 dot
+    # roundings can satisfy — which is why quad spuriously "failed" on
+    # device (BENCH_r02).
+    wd = mm.mxq_dequant_weight(p).astype(jnp.float32)     # [K, N] exact
+    y_ref = jnp.dot(xr.astype(jnp.bfloat16).astype(jnp.float32),
+                    wd[:, : p.out_features], precision="highest")
+    scale = float(jnp.max(jnp.abs(y_ref))) + 1e-9
+    del wd
 
     times = {}
     for layout in ("slab", "quad", "bfexp"):
         def stepl(c, x, _l=layout):
             return fold_to_input(mm.mxq_matmul(x, c, layout=_l), k)
         try:
-            if layout != "slab":
-                y = mm.mxq_matmul(xr, p, layout=layout)
-                rel = float(jnp.max(jnp.abs(y - y_slab))) / scale
-                tol = 0.002 if layout == "quad" else 0.05
-                if rel > tol:
-                    raise ValueError(f"parity vs slab rel={rel:.2e}")
+            y = mm.mxq_matmul(xr, p, layout=layout)
+            rel = float(jnp.max(jnp.abs(y - y_ref))) / scale
+            tol = 0.02 if layout != "bfexp" else 0.05
+            if rel > tol:
+                raise ValueError(f"parity vs dequant ref rel={rel:.2e}")
+            times[layout + "_relerr"] = rel
             times[layout] = time_op(stepl, xb, const=p)
         except Exception as e:  # noqa: BLE001 — a layout that fails to
             # compile or match on this backend drops out of the tuning
             times[layout] = float("inf")
             times[layout + "_error"] = f"{type(e).__name__}: {e}"[:120]
-    del p, xb, xr, y_slab
+    del p, xb, xr, y_ref
     jax.clear_caches()
     winner = min(("slab", "quad"), key=lambda l: times[l])
     return winner, times
@@ -168,9 +178,13 @@ def main(_retry=True):
             "detail": {
                 "batch": BATCH,
                 "gemv_layout": layout,
+                # non-finite timings serialize as null (RFC-8259: bare
+                # Infinity is not valid JSON); the *_error key explains why
                 "layout_us_11008x4096_b8": {
-                    k: (round(v * 1e6, 1) if isinstance(v, float)
-                        and v != float("inf") else v)
+                    k: (None if isinstance(v, float) and not np.isfinite(v)
+                        else f"{v:.2e}" if k.endswith("_relerr")
+                        else round(v * 1e6, 1) if isinstance(v, float)
+                        else v)
                     for k, v in layout_times.items()},
                 "t_step_mxq_ms": round(t_mxq * 1e3, 3),
                 "t_step_bf16_32L_extrapolated_ms": round(t_bf16_32 * 1e3, 3),

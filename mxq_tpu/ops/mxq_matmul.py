@@ -40,8 +40,17 @@ K4T = W4_ROWS * 8
 # 16 iterations); "quad" = one shift+and per FOUR slabs via
 # (w >> 2j) & 0x03030303 and a pltpu.bitcast int32->int8 (byte b of word r
 # lands on sublane 4r+b), amortizing the extraction to 0.5 VPU ops/weight.
-# Both are bit-exact vs the reference dequant (tests/test_mxq_matmul.py);
-# the default is whichever measured faster on-device (tools/kernel_r3.py).
+# Both are bit-exact vs the reference dequant in the unpack/scale math
+# (tests/test_mxq_matmul.py); at the MXU dot itself, default matmul
+# precision rounds the f32 dequantized weights to bf16, so two layouts
+# with differently-structured dot chains legitimately differ by up to
+# ~5e-3 max-rel on device while EACH agrees with the f64 reference to
+# ~3e-7 under precision=float32 (root-caused in
+# tools/probe_quad_parity.py after BENCH_r02 flagged quad at 2.7e-3
+# against a 2e-3 slab-relative gate — the gate was wrong, not the
+# lowering: pltpu.bitcast byte order is identical on device and in
+# interpret mode). The default is whichever measured faster on-device
+# (tools/kernel_r3.py, tools/probe_quad_time.py).
 GEMV_LAYOUT = os.environ.get("MXQ_GEMV_LAYOUT", "slab")
 
 
