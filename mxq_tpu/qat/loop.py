@@ -67,7 +67,17 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
 
     Elastic recovery: on restart with the same output_dir the latest
     checkpoint is restored and training resumes at the saved step (crash =
-    rerun was the reference's only story, SURVEY.md §5)."""
+    rerun was the reference's only story, SURVEY.md §5).
+
+    Multi-host: run the same call on every host with a hybrid mesh from
+    multihost.make_hybrid_mesh; data_iter must then yield each host's OWN
+    batch slice (multihost.host_local_slice of the global batch) — the
+    loop stitches them into global arrays and logs/saves from the
+    coordinator (orbax writes are collective; every host participates)."""
+    from mxq_tpu.parallel import multihost
+    multi = jax.process_count() > 1
+    if multi and not multihost.is_coordinator():
+        log = lambda *_a, **_k: None  # noqa: E731 — log once, on host 0
     opt = train_mod.make_optimizer(tc)
     if mesh is not None:
         params = sharding.shard_params(params, mesh)
@@ -99,7 +109,8 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
         if lc.max_steps is not None and step >= lc.max_steps:
             break
         if mesh is not None:
-            batch = sharding.shard_batch(batch, mesh)
+            batch = (multihost.global_batch(batch, mesh) if multi
+                     else sharding.shard_batch(batch, mesh))
         params, opt_state, metrics = step_fn(params, teacher_params,
                                              opt_state, batch)
         step += 1
@@ -124,7 +135,8 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
         tot = 0.0
         for vb in val_batches:
             if mesh is not None:
-                vb = sharding.shard_batch(vb, mesh)
+                vb = (multihost.global_batch(vb, mesh) if multi
+                      else sharding.shard_batch(vb, mesh))
             tot += float(ev(params, vb))
         out["eval_ppl"] = float(np.exp(tot / len(val_batches)))
         log(f"eval ppl (exp of mean val loss): {out['eval_ppl']:.4f}")
