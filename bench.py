@@ -180,7 +180,7 @@ def main(_retry=True):
                 "gemv_layout": layout,
                 # non-finite timings serialize as null (RFC-8259: bare
                 # Infinity is not valid JSON); the *_error key explains why
-                "layout_us_11008x4096_b8": {
+                "layout_us_4096x11008_b8": {
                     k: (None if isinstance(v, float) and not np.isfinite(v)
                         else f"{v:.2e}" if k.endswith("_relerr")
                         else round(v * 1e6, 1) if isinstance(v, float)

@@ -55,15 +55,17 @@ GEMV_LAYOUT = os.environ.get("MXQ_GEMV_LAYOUT", "slab")
 
 
 def _kernel(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
-            s4_ref, z4_ref, out_ref, acc_ref, *, out_dtype, n_kt, kt_mult,
-            layout):
+            s4_ref, z4_ref, out_ref, out4_ref, acc_ref, acc4_ref, *,
+            out_dtype, n_kt, kt_mult, layout):
     _body_for(layout)(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref,
-                      qm_ref, s4_ref[:], z4_ref[:], out_ref, acc_ref,
-                      out_dtype=out_dtype, kt_mult=kt_mult)
+                      qm_ref, s4_ref[:], z4_ref[:], out_ref, out4_ref,
+                      acc_ref, acc4_ref, out_dtype=out_dtype,
+                      kt_mult=kt_mult)
 
 
 def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
-                 s4, z4, out_ref, acc_ref, *, out_dtype, kt_mult=1):
+                 s4, z4, out_ref, out4_ref, acc_ref, acc4_ref, *, out_dtype,
+                 kt_mult=1):
     """Slab-major dequant-matmul step.
 
     All sub-word unpacking is constant-shift + mask over full [rows, NL]
@@ -81,9 +83,10 @@ def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc4_ref[:] = jnp.zeros_like(acc4_ref)
 
     dn = (((0,), (0,)), ((), ()))
-    sz4 = s4 * z4                                      # [1, NL] f32
+    del s4, z4          # applied in the XLA epilogue (see 4-bit plane note)
     for m in range(kt_mult):
         # ---- group params (2-bit plane) ----
         meta = meta_ref[pl.ds(m * NB_TILE, NB_TILE), :]   # [16, NL] int32
@@ -125,25 +128,30 @@ def _kernel_body(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
             xsum2, -neg_sz, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
 
-        # ---- 4-bit plane (same factoring; s4/z4 are per-channel) ----
+        # ---- 4-bit plane: s4/z4 are PER-CHANNEL, so the whole scale/zero
+        # application hoists OUT of the contraction:
+        #   sum_j dot(x_j, s4*(c_j - z4)) = s4 (.) sum_j dot(x_j, c_j)
+        #                                   - (s4*z4) (.) outer(rowsum(x4), 1)
+        # The kernel dots RAW codes (ints, exact in bf16) into acc4; the
+        # [B, N] epilogue (one fused multiply-add + the rank-1 zero term
+        # from a host-side reduce of x4) runs in XLA outside the kernel —
+        # dropping the per-4b-weight scale multiply, the per-tile
+        # correction dot, AND the [32, NL] sz4 broadcast from the hot loop
+        # (the 2-bit plane's zero term has real [48, NL] structure and
+        # keeps its factored in-kernel dot above).
         w4 = w4_ref[pl.ds(m * W4_ROWS, W4_ROWS), :]    # [32, NL] int32
-        xsum4 = None
         for j in range(8):
             c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
-            w_j = s4 * c_j.astype(jnp.float32)         # [32, NL]
             xs = x4_ref[pl.ds((m * 8 + j) * W4_ROWS, W4_ROWS), :]  # [32, B]
-            xsf = xs.astype(jnp.float32)
-            xsum4 = xsf if xsum4 is None else xsum4 + xsf
-            acc_ref[:] += jax.lax.dot_general(
-                xsf, w_j, dimension_numbers=dn,
+            acc4_ref[:] += jax.lax.dot_general(
+                xs.astype(jnp.float32), c_j.astype(jnp.float32),
+                dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
-        acc_ref[:] += jax.lax.dot_general(
-            xsum4, -jnp.broadcast_to(sz4, (W4_ROWS, sz4.shape[1])),
-            dimension_numbers=dn, preferred_element_type=jnp.float32)
 
     @pl.when(kt == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_dtype)
+        out4_ref[:] = acc4_ref[:].astype(out_dtype)
 
 
 def permute_x2(x2: jax.Array, n_kt: int) -> jax.Array:
@@ -159,8 +167,8 @@ def permute_x4(x4: jax.Array, n_kt: int) -> jax.Array:
 
 
 def _kernel_body_quad(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref,
-                      qm_ref, s4, z4, out_ref, acc_ref, *, out_dtype,
-                      kt_mult=1):
+                      qm_ref, s4, z4, out_ref, out4_ref, acc_ref, acc4_ref,
+                      *, out_dtype, kt_mult=1):
     """Byte-quad unpack: (w >> 2j) & 0x03030303 extracts FOUR slabs per
     shift+and; pltpu.bitcast int32->int8 lands byte b of word r on sublane
     4r+b (matching permute_x2_quad's activation order), then one
@@ -171,9 +179,10 @@ def _kernel_body_quad(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref,
     @pl.when(kt == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc4_ref[:] = jnp.zeros_like(acc4_ref)
 
     dn = (((0,), (0,)), ((), ()))
-    sz4 = s4 * z4
+    del s4, z4          # applied in the XLA epilogue (see slab body note)
     for m in range(kt_mult):
         meta = meta_ref[pl.ds(m * NB_TILE, NB_TILE), :]
         qs = qs_ref[pl.ds(m * NB_TILE, NB_TILE), :].astype(jnp.float32)
@@ -206,25 +215,22 @@ def _kernel_body_quad(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref,
             xsum, -n192, dimension_numbers=dn,
             preferred_element_type=jnp.float32)
 
+        # 4-bit plane: per-channel scale/zero hoist out of the kernel, as in
+        # the slab body — raw code dots into acc4, epilogue in XLA.
         w4 = w4_ref[pl.ds(m * W4_ROWS, W4_ROWS), :]
-        xsum = None
         for j in range(2):
             t = jax.lax.shift_right_logical(w4, 4 * j) & 0x0F0F0F0F
             c8 = pltpu.bitcast(t, jnp.int8)            # [128, NL]
-            w_j = s4 * c8.astype(jnp.float32)
             xs = x4_ref[pl.ds((m * 2 + j) * 4 * W4_ROWS, 4 * W4_ROWS), :]
-            xsf = xs.astype(jnp.float32)
-            xsum = xsf if xsum is None else xsum + xsf
-            acc_ref[:] += jax.lax.dot_general(
-                xsf, w_j, dimension_numbers=dn,
+            acc4_ref[:] += jax.lax.dot_general(
+                xs.astype(jnp.float32), c8.astype(jnp.float32),
+                dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
-        acc_ref[:] += jax.lax.dot_general(
-            xsum, -jnp.broadcast_to(sz4, (4 * W4_ROWS, sz4.shape[1])),
-            dimension_numbers=dn, preferred_element_type=jnp.float32)
 
     @pl.when(kt == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_dtype)
+        out4_ref[:] = acc4_ref[:].astype(out_dtype)
 
 
 def permute_x2_quad(x2: jax.Array, n_kt: int) -> jax.Array:
@@ -244,8 +250,8 @@ def permute_x4_quad(x4: jax.Array, n_kt: int) -> jax.Array:
 
 
 def _kernel_body_bfexp(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref,
-                       qm_ref, s4, z4, out_ref, acc_ref, *, out_dtype,
-                       kt_mult=1):
+                       qm_ref, s4, z4, out_ref, out4_ref, acc_ref, acc4_ref,
+                       *, out_dtype, kt_mult=1):
     """Exponent-injection unpack: ((w >> (2j-5)) & 0x0060_0060) | 0x3F80_3F80
     bitcast to bf16 reads 1 + c/4 per halfword (two slabs per shift+and+or),
     and w_j = (4s)*pb - (4s + s*z) is one fused multiply-sub — no int->float
@@ -308,6 +314,7 @@ def _kernel_body_bfexp(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref,
     @pl.when(kt == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_dtype)
+        out4_ref[:] = jnp.zeros_like(out4_ref)  # bfexp applies s4/z4 inside
 
 
 def permute_x2_pair(x2: jax.Array, n_kt: int) -> jax.Array:
@@ -340,22 +347,31 @@ def _body_for(layout: str):
             "bfexp": _kernel_body_bfexp}[layout]
 
 
-def _pick_kt_mult(n_kt: int) -> int:
-    """k-tiles per grid step: 2 when the k extent allows it (fewer, fatter
-    pipeline stages measured ~5-8% faster on the 4096^2 B=8 GEMV,
-    tools/kernel_r2.py), else 1."""
-    return 2 if n_kt % 2 == 0 else 1
+def _pick_kt_mult(n_kt: int, n_tiles: int = 8) -> int:
+    """k-tiles per grid step. Fatter steps (km>1) cut grid overhead, but the
+    Mosaic pipeline needs enough remaining grid steps to double-buffer DMA
+    against compute — the on-device sweep (tools/probe_tune_r3.py, v5e B=8)
+    shows km=4 wins when n_tiles*n_kt/km stays >= 8 (4096->11264: 45.8us vs
+    47.2 at km=2) and loses when it starves the pipeline (4096^2 @ bn=2048:
+    km=1 17.9us vs km=2 20.9us). Pick the largest divisor of n_kt that keeps
+    >= 8 grid steps."""
+    for km in (4, 2):
+        if n_kt % km == 0 and n_tiles * (n_kt // km) >= 8:
+            return km
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "block_n", "interpret",
-                                             "out_dtype", "layout"))
+                                             "out_dtype", "layout",
+                                             "kt_mult"))
 def _mxq_matmul_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
                        *, block_b, block_n, interpret, out_dtype,
-                       layout="slab"):
+                       layout="slab", kt_mult=None):
     b = x2.shape[1]
     nbp, n = meta2.shape
     n_kt = nbp // NB_TILE
-    km = _pick_kt_mult(n_kt)
+    km = (kt_mult if kt_mult is not None
+          else _pick_kt_mult(n_kt, n // block_n))
     grid = (b // block_b, n // block_n, n_kt // km)
 
     kernel = functools.partial(_kernel, out_dtype=out_dtype, n_kt=n_kt,
@@ -383,10 +399,16 @@ def _mxq_matmul_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
             pl.BlockSpec((1, block_n), lambda bi, ni, ki: (0, ni),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, block_n), lambda bi, ni, ki: (bi, ni),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((block_b, block_n), lambda bi, ni, ki: (bi, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, block_n), lambda bi, ni, ki: (bi, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, n), out_dtype),
+                   jax.ShapeDtypeStruct((b, n), out_dtype)],
+        scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32),
+                        pltpu.VMEM((block_b, block_n), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -397,6 +419,18 @@ def _mxq_matmul_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
             transcendentals=0,
         ),
     )(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row)
+
+
+def _epilogue(out, out4, x4_bf16, s4row, z4row, layout: str):
+    """Apply the hoisted 4-bit per-channel scale/zero in XLA:
+    y = out + s4*out4 - (s4*z4)*rowsum(x4). ``x4_bf16`` [B, K4P] is the
+    (unpermuted) 4-bit-plane activation exactly as the kernel saw it
+    (bf16-rounded); the zero term is rank-1 because z4 is per-channel and
+    padding rows of x4 are zero. bfexp applies everything in-kernel."""
+    if layout == "bfexp":
+        return out
+    r = jnp.sum(x4_bf16.astype(jnp.float32), axis=1, keepdims=True)  # [B,1]
+    return out + s4row * out4 - (s4row * z4row) * r
 
 
 def _on_cpu() -> bool:
@@ -417,7 +451,8 @@ def mxq_matmul(x: jax.Array, p: PackedMXQLinear,
                cfg: MXQConfig = DEFAULT_SCHEME,
                block_b: int = 128, block_n: int | None = None,
                interpret: bool | None = None,
-               layout: str | None = None) -> jax.Array:
+               layout: str | None = None,
+               kt_mult: int | None = None) -> jax.Array:
     """y = x @ dequant(p): fused packed dequant-matmul.
 
     ``x``: [..., K] activations (any float dtype; computed in bf16 on the MXU
@@ -438,14 +473,16 @@ def mxq_matmul(x: jax.Array, p: PackedMXQLinear,
     x2, x4 = packfmt.pad_inputs_split(xb, p, cfg)
     n_kt = p.nbp // NB_TILE
     px2, px4 = _permutes(layout)
+    x4u = x4.astype(jnp.bfloat16)      # unpermuted copy for the epilogue
     x2 = px2(x2, n_kt).T               # [K2P, B] for sublane slab slices
     x4 = px4(x4, n_kt).T
-    y = _mxq_matmul_padded(
+    out, out4 = _mxq_matmul_padded(
         x2.astype(jnp.bfloat16), x4.astype(jnp.bfloat16),
         p.w2, p.w4, p.meta2, p.qscale, p.qmin,
         p.smeta4[0:1], p.smeta4[1:2],
         block_b=bb, block_n=block_n, interpret=interpret,
-        out_dtype=jnp.float32, layout=layout)
+        out_dtype=jnp.float32, layout=layout, kt_mult=kt_mult)
+    y = _epilogue(out, out4, x4u, p.smeta4[0:1], p.smeta4[1:2], layout)
     return y[:b, : p.out_features].astype(x.dtype).reshape(lead + (p.out_features,))
 
 
@@ -744,7 +781,7 @@ def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
                                out_dtype, n_kt, layout="slab"):
     b = x2.shape[1]
     n = meta2.shape[1]
-    km = _pick_kt_mult(n_kt)
+    km = _pick_kt_mult(n_kt, n // block_n)
     n_blk = n_kt // km
     grid = (b // block_b, n // block_n, n_blk)
     kernel = functools.partial(_stacked_kernel, out_dtype=out_dtype,
@@ -774,14 +811,18 @@ def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
             pl.BlockSpec((8, block_n), lambda bi, ni, ki, s: (s[0], ni),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, block_n),
-                               lambda bi, ni, ki, s: (bi, ni)),
-        scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((block_b, block_n), lambda bi, ni, ki, s: (bi, ni)),
+            pl.BlockSpec((block_b, block_n), lambda bi, ni, ki, s: (bi, ni)),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_b, block_n), jnp.float32),
+                        pltpu.VMEM((block_b, block_n), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        out_shape=[jax.ShapeDtypeStruct((b, n), out_dtype),
+                   jax.ShapeDtypeStruct((b, n), out_dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -790,13 +831,14 @@ def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
 
 
 def _stacked_kernel(idx_ref, x2_ref, x4_ref, w2_ref, w4_ref, meta_ref,
-                    qs_ref, qm_ref, sm_ref, out_ref, acc_ref, *, out_dtype,
-                    n_kt, kt_mult, layout="slab"):
+                    qs_ref, qm_ref, sm_ref, out_ref, out4_ref, acc_ref,
+                    acc4_ref, *, out_dtype, n_kt, kt_mult, layout="slab"):
     del idx_ref  # consumed by the index maps
     sm = sm_ref[:]                  # [8, NL]: row 0 = 4b scale, row 1 = zero
     _body_for(layout)(x2_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref,
-                      qm_ref, sm[0:1, :], sm[1:2, :], out_ref, acc_ref,
-                      out_dtype=out_dtype, kt_mult=kt_mult)
+                      qm_ref, sm[0:1, :], sm[1:2, :], out_ref, out4_ref,
+                      acc_ref, acc4_ref, out_dtype=out_dtype,
+                      kt_mult=kt_mult)
 
 
 def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
@@ -835,12 +877,16 @@ def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
         in_features=p.in_features, out_features=p.out_features)
     x2, x4 = packfmt.pad_inputs_split(xb, geom, cfg)
     px2, px4 = _permutes(layout)
+    x4u = x4.astype(jnp.bfloat16)          # unpermuted copy for the epilogue
     x2 = px2(x2, n_kt).T                   # [K2P, B]
     x4 = px4(x4, n_kt).T
-    y = _mxq_matmul_stacked_padded(
+    out, out4 = _mxq_matmul_stacked_padded(
         layer_idx, x2.astype(jnp.bfloat16), x4.astype(jnp.bfloat16),
         single.w2, single.w4, single.meta2, single.qscale, single.qmin,
         single.smeta4, block_b=bb, block_n=block_n, interpret=interpret,
         out_dtype=jnp.float32, n_kt=n_kt, layout=layout)
+    sm_l = jax.lax.dynamic_index_in_dim(p.smeta4, layer_idx, 0,
+                                        keepdims=False)   # [8, n]
+    y = _epilogue(out, out4, x4u, sm_l[0:1], sm_l[1:2], layout)
     return y[:b, : p.out_features].astype(x.dtype).reshape(
         lead + (p.out_features,))
