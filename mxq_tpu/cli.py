@@ -35,6 +35,12 @@ def _load_model(args, w_bits=32, a_bits=32, kv_bits=32):
         import jax
         preset = getattr(llama.LlamaConfig, args.preset)
         cfg = preset(w_bits=w_bits, a_bits=a_bits, kv_bits=kv_bits)
+        if getattr(args, "layers", None):
+            # shallow-depth drive of a full-width preset (e.g.
+            # `ptq --preset llama2_70b --layers 1 --shard 1,2,4`): per-layer
+            # memory behavior is depth-independent, so one layer validates
+            # the 70B-class sharded calibration without 70B of host RAM
+            cfg = dataclasses.replace(cfg, num_hidden_layers=args.layers)
         params = llama.init_params(cfg, jax.random.PRNGKey(args.seed), dtype)
     return cfg, params
 
@@ -60,9 +66,17 @@ def cmd_ptq(args):
     print(f"calibrating {cfg.num_hidden_layers} layers on "
           f"{args.nsamples}x{args.seqlen} {args.dataset} tokens "
           f"(mode={args.mode})")
+    mesh = None
+    if args.shard:
+        from mxq_tpu.parallel import sharding as shlib
+        dp, fsdp, tp = (int(v) for v in args.shard.split(","))
+        mesh = shlib.make_mesh(dp=dp, fsdp=fsdp, tp=tp)
+        print(f"sharding calibration over mesh (dp={dp}, fsdp={fsdp}, "
+              f"tp={tp})")
     qparams, packed = calibrate.ptq_quantize(
-        params, cfg, ids, calibrate.PTQConfig(mode=args.mode),
-        progress=lambda i: print(f"  layer {i} done"))
+        params, cfg, ids,
+        calibrate.PTQConfig(mode=args.mode, chunk=args.chunk),
+        progress=lambda i: print(f"  layer {i} done"), mesh=mesh)
     tokens = ptq_data.get_eval_tokens(tokenizer=tok,
                                       vocab_size=cfg.vocab_size,
                                       dataset=args.dataset,
@@ -345,6 +359,16 @@ def main(argv=None):
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--mode", default="reference",
                    choices=["reference", "packed"])
+    p.add_argument("--chunk", type=int, default=None,
+                   help="calibration samples per device pass (bounds "
+                        "activation residency; default: all at once)")
+    p.add_argument("--shard", default=None, metavar="DP,FSDP,TP",
+                   help="shard calibration over a device mesh, e.g. "
+                        "'1,2,4' (activations over data axes, layer "
+                        "weights over fsdp/tp — required for 13B/70B)")
+    p.add_argument("--layers", type=int, default=None,
+                   help="override preset depth (shallow drive of a "
+                        "full-width config)")
     p.add_argument("--save_model", default=None)
     p.add_argument("--max_eval_windows", type=int, default=None)
     p.set_defaults(fn=cmd_ptq)

@@ -3,6 +3,8 @@ dead columns handled, ppl sanity (quantized ppl close to fp on tiny model)."""
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +17,7 @@ from mxq_tpu import scheme
 CFG = llama.LlamaConfig.tiny()
 
 
+@pytest.mark.slow
 def test_ptq_quantizes_all_linears():
     params = llama.init_params(CFG, jax.random.PRNGKey(0))
     ids = jnp.asarray(ptq_data.get_calibration_batch(4, 32, vocab_size=CFG.vocab_size))
@@ -86,3 +89,58 @@ def test_dataset_loaders_select_and_salt():
         ptq_data.get_calibration_batch(1, 8, dataset="ptb", strict=True)
     with pytest.raises(RuntimeError):
         ptq_data.get_eval_tokens(dataset="c4", strict=True)
+
+
+def test_ptq_chunked_matches_unchunked():
+    """nsamples-chunked calibration (bounded activation residency) must
+    reproduce the one-shot path exactly: the column stats only gate the
+    dead-column zeroing, and summing chunk stats preserves the ==0 test."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(3))
+    ids = jnp.asarray(ptq_data.get_calibration_batch(
+        4, 32, vocab_size=CFG.vocab_size))
+    q_ref, _ = calibrate.ptq_quantize(params, CFG, ids)
+    q_chk, _ = calibrate.ptq_quantize(params, CFG, ids,
+                                      calibrate.PTQConfig(chunk=2))
+    for name in llama.LAYER_LINEARS:
+        np.testing.assert_allclose(np.asarray(q_chk["layers"][name]),
+                                   np.asarray(q_ref["layers"][name]),
+                                   rtol=0, atol=1e-6, err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ptq_sharded_matches_single_device():
+    """Mesh-sharded calibration (activations over data axes, layer weights
+    over (fsdp, tp)) reproduces the single-device result — the rebuild of
+    the reference's multi-GPU hf_device_map calibration (prune.py:371-379)
+    as real tensor sharding."""
+    from mxq_tpu.parallel import sharding as shlib
+
+    params = llama.init_params(CFG, jax.random.PRNGKey(4))
+    ids = jnp.asarray(ptq_data.get_calibration_batch(
+        4, 32, vocab_size=CFG.vocab_size))
+    q_ref, _ = calibrate.ptq_quantize(params, CFG, ids)
+    mesh = shlib.make_mesh(dp=2, fsdp=2, tp=2)
+    q_sh, _ = calibrate.ptq_quantize(params, CFG, ids,
+                                     calibrate.PTQConfig(chunk=2), mesh=mesh)
+    for name in llama.LAYER_LINEARS:
+        np.testing.assert_allclose(np.asarray(q_sh["layers"][name]),
+                                   np.asarray(q_ref["layers"][name]),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ptq_sharded_packed_mode():
+    """Sharded + packed: the 70B-class calibration path end to end on the
+    virtual mesh (tiny shapes) producing a packable artifact."""
+    from mxq_tpu.parallel import sharding as shlib
+
+    params = llama.init_params(CFG, jax.random.PRNGKey(5))
+    ids = jnp.asarray(ptq_data.get_calibration_batch(
+        4, 32, vocab_size=CFG.vocab_size))
+    mesh = shlib.make_mesh(dp=1, fsdp=2, tp=4)
+    qparams, packed = calibrate.ptq_quantize(
+        params, CFG, ids, calibrate.PTQConfig(mode="packed", chunk=2),
+        mesh=mesh)
+    assert packed is not None
+    logits, _ = llama.forward(qparams, jnp.arange(4)[None], CFG)
+    assert np.all(np.isfinite(np.asarray(logits)))
