@@ -2,6 +2,7 @@
 
 import json
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import jax
 
@@ -10,6 +11,7 @@ from mxq_tpu.models import llama
 from mxq_tpu.utils import checkpoint as ckpt
 
 
+@pytest.mark.slow
 def test_cli_ptq_tiny(capsys, tmp_path):
     cli.main(["ptq", "--preset", "tiny", "--nsamples", "2", "--seqlen", "32",
               "--max_eval_windows", "2", "--mode", "packed",
@@ -51,6 +53,7 @@ def test_cli_serve(capsys):
     assert res["requests"] == 3
 
 
+@pytest.mark.slow
 def test_packed_checkpoint_roundtrip(tmp_path):
     cfg = llama.LlamaConfig.tiny(num_hidden_layers=1)
     params = llama.init_params(cfg, jax.random.PRNGKey(0))

@@ -89,6 +89,7 @@ def test_hybrid_train_step_runs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_multihost_engine_matches_unsharded():
     """Weights sharded over ('dcn','tp') across the simulated host boundary
     must generate the same greedy tokens as the plain single-device engine."""

@@ -13,8 +13,11 @@ CFG = MXQConfig()
 
 
 @pytest.mark.parametrize("layout", ["slab", "quad"])
-@pytest.mark.parametrize("b,o,k", [(1, 256, 1024), (8, 256, 1024),
-                                   (16, 512, 2048), (5, 100, 2112)])
+@pytest.mark.parametrize("b,o,k", [
+    pytest.param(1, 256, 1024, marks=pytest.mark.slow),
+    (8, 256, 1024),
+    pytest.param(16, 512, 2048, marks=pytest.mark.slow),
+    pytest.param(5, 100, 2112, marks=pytest.mark.slow)])
 def test_matches_reference_dequant(b, o, k, layout):
     w = jax.random.normal(jax.random.PRNGKey(0), (o, k), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, k), jnp.float32)
@@ -42,6 +45,7 @@ def test_bfexp_layout_close(b, o, k):
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_stacked_quad_layout_matches_slab():
     l, o, k, b = 2, 256, 2048, 8
     ws = jax.random.normal(jax.random.PRNGKey(20), (l, o, k), jnp.float32)
@@ -79,6 +83,7 @@ def test_prefill_matches_reference_dequant(b, o, k):
                                rtol=3e-2, atol=3e-1)
 
 
+@pytest.mark.slow
 def test_prefill_stacked_indexing():
     """Stacked [L, ...] packed weights indexed by a traced layer id."""
     l, o, k, b = 3, 256, 1024, 64

@@ -34,6 +34,7 @@ def test_dense_tp_block_matches_reference():
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_dense_tp4():
     k = n = 4096
     tp = 4
@@ -50,6 +51,7 @@ def test_dense_tp4():
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_packed_tp_block_matches_reference():
     """Packed dequant-matmul through the overlapped column+row TP pair."""
     k = n = 2048
@@ -94,6 +96,7 @@ def test_packed_ktile_slices_are_additive():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_packed_tp_mlp_matches_reference():
     """Full overlapped MLP block (gate+up one ring pass, silu, down
     reduce-scatter) vs the single-device packed reference."""
@@ -177,6 +180,7 @@ def _ref_decode_layer(x, lw, cache, positions, cfg):
     return x + act @ lw["down_proj"], {"k": ck, "v": cv}
 
 
+@pytest.mark.slow
 def test_tp_decoder_layer_dense_matches_reference():
     from mxq_tpu.models import llama
     from mxq_tpu.parallel import tp_layer
@@ -213,6 +217,7 @@ def test_tp_decoder_layer_dense_matches_reference():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_tp_decoder_layer_packed():
     from mxq_tpu.models import llama
     from mxq_tpu.parallel import tp_layer
@@ -291,6 +296,7 @@ def _ref_prefill_layer(x, lw, cache, cfg):
     return x, {"k": ck, "v": cv}
 
 
+@pytest.mark.slow
 def test_tp_prefill_layer_dense_matches_reference():
     from mxq_tpu.models import llama
     from mxq_tpu.parallel import tp_layer
@@ -326,6 +332,7 @@ def test_tp_prefill_layer_dense_matches_reference():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_tp_prefill_layer_packed():
     from mxq_tpu.models import llama
     from mxq_tpu.parallel import tp_layer
@@ -363,6 +370,7 @@ def test_tp_prefill_layer_packed():
     assert err < 3e-2, err
 
 
+@pytest.mark.slow
 def test_tp_decode_layer_gqa():
     """GQA (nkv < nh, the 70B config's shape class) through the overlapped
     TP decode layer matches the single-device oracle."""
@@ -401,6 +409,7 @@ def test_tp_decode_layer_gqa():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_tp_prefill_layer_gqa():
     """GQA through the overlapped TP prefill layer (70B shape class)."""
     from mxq_tpu.models import llama

@@ -1,6 +1,7 @@
 """Serving engine tests: KV quant roundtrip, continuous batching correctness
 (engine generations == plain greedy decode), slot reuse."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -151,6 +152,7 @@ class TestSpeculative:
                 for i in range(nreq)]
         return reqs, refs
 
+    @pytest.mark.slow
     def test_repetitive_prompt_matches_greedy(self):
         """High-acceptance case: a looping prompt makes prompt-lookup drafts
         accurate, and outputs must STILL match plain greedy exactly."""
@@ -158,6 +160,7 @@ class TestSpeculative:
         reqs, refs = self._run(prompt, 10)
         assert reqs[0].generated[:10] == refs[0]
 
+    @pytest.mark.slow
     def test_random_prompt_matches_greedy(self):
         """Low-acceptance case (drafts mostly rejected): still exact."""
         rng = np.random.RandomState(3)
@@ -165,6 +168,7 @@ class TestSpeculative:
         reqs, refs = self._run(prompt, 8)
         assert reqs[0].generated[:8] == refs[0]
 
+    @pytest.mark.slow
     def test_multi_request_slot_reuse(self):
         prompt = np.array([9, 10, 11] * 4, np.int32)
         reqs, refs = self._run(prompt, 6, nreq=5)
@@ -190,6 +194,7 @@ class TestSpeculative:
         spec.run_spec(e2, draft_len=4)
         assert r2.generated[:8] == r1.generated[:8]
 
+    @pytest.mark.slow
     def test_spec_with_chunked_prefill_prompt(self):
         """Speculative decoding after a multi-chunk prefill (prompt beyond
         the largest bucket) still matches plain greedy exactly."""
@@ -275,6 +280,7 @@ class TestCancel:
         assert r2 in done
 
 
+@pytest.mark.slow
 class TestEngineSoak:
     def test_random_workload_matches_greedy(self):
         """Soak: a stream of random-length requests through 2 slots must
@@ -302,6 +308,7 @@ class TestEngineSoak:
             assert req.generated[:want] == ref, (len(prompt), n_new)
 
 
+@pytest.mark.slow
 class TestPagedSoak:
     def test_paged_random_workload_matches_greedy(self):
         """Paged-engine soak: random-length requests through 2 slots must

@@ -74,6 +74,7 @@ def test_packed_params_shardable():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_sharded_packed_decode_with_cache():
     """Multi-chip serving path: packed weights tp/fsdp-sharded, KV cache
     sharded over heads (tp), one decode step on the virtual mesh."""
@@ -100,6 +101,7 @@ def test_sharded_packed_decode_with_cache():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_engine_on_sharded_packed_params():
     """Multi-chip serving end to end: the continuous-batching Engine runs
     with tp/fsdp-sharded packed weights and a tp-sharded KV cache on the
@@ -132,6 +134,7 @@ def test_engine_on_sharded_packed_params():
     assert r.generated == r_ref.generated, (r.generated, r_ref.generated)
 
 
+@pytest.mark.slow
 def test_spec_decode_on_sharded_packed_params():
     """Speculative decoding over tp/fsdp-sharded packed weights matches the
     unsharded greedy engine exactly."""

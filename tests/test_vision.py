@@ -1,6 +1,7 @@
 """Vision side project tests: ViT forward, Wanda pruning, MXQ quantization."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def test_prune_vit_nm():
     assert (nz <= 2).all()
 
 
+@pytest.mark.slow
 def test_quantize_vit():
     params = vit.init_params(CFG, jax.random.PRNGKey(0))
     q = prune_vision.quantize_vit(params, CFG)
@@ -54,12 +56,14 @@ class TestConvNeXt:
         imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
         return convnext, cfg, params, imgs
 
+    @pytest.mark.slow
     def test_forward(self):
         convnext, cfg, params, imgs = self._setup()
         logits = convnext.forward(params, imgs, cfg)
         assert logits.shape == (2, 10)
         assert np.all(np.isfinite(np.asarray(logits)))
 
+    @pytest.mark.slow
     def test_prune_wanda_sparsity(self):
         convnext, cfg, params, imgs = self._setup()
         pruned = prune_vision.prune_convnext(params, cfg, imgs, sparsity=0.5)
@@ -85,6 +89,7 @@ class TestConvNeXt:
         nz = (w.reshape(-1, 4, w.shape[-1]) != 0).sum(1)
         assert (nz <= 2).all()
 
+    @pytest.mark.slow
     def test_quantize(self):
         convnext, cfg, params, imgs = self._setup()
         q = prune_vision.quantize_convnext(params, cfg)
@@ -141,6 +146,7 @@ class TestDeiTAndMixer:
 
 
 class TestSwin:
+    @pytest.mark.slow
     def test_forward(self):
         from mxq_tpu.vision import swin
         cfg = swin.SwinConfig.tiny()
@@ -177,6 +183,7 @@ class TestSwin:
         back = swin.window_reverse(w, 4, 8, 8)
         np.testing.assert_allclose(np.asarray(back), np.asarray(x))
 
+    @pytest.mark.slow
     def test_quantized_close(self):
         from mxq_tpu.vision import swin
         cfg = swin.SwinConfig.tiny(embed_dim=64)
