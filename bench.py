@@ -124,7 +124,26 @@ def autotune_layout(key):
     scale = float(jnp.max(jnp.abs(y_ref))) + 1e-9
     del wd
 
+    # AWQ-style uniform-4b baseline at the same shape — the reference's
+    # three-way comparison axis (test_mxq_gemv.py:57-80: fp16 vs awq_4bit
+    # vs mxq_2.8bit)
+    from mxq_tpu.ops import uniform4 as u4
+    wu = jax.random.normal(key, (11008, k), jnp.float32) * 0.02
+    pu = u4.quantize_pack_u4(wu)
+    del wu
+
     times = {}
+
+    def step_u4(c, x):
+        return fold_to_input(u4.u4_matmul(x, c), k)
+
+    try:
+        times["uniform4b"] = time_op(step_u4, xb, const=pu)
+    except Exception as e:  # noqa: BLE001
+        times["uniform4b"] = float("inf")
+        times["uniform4b_error"] = f"{type(e).__name__}: {e}"[:120]
+    del pu
+
     for layout in ("slab", "quad", "bfexp"):
         def stepl(c, x, _l=layout):
             return fold_to_input(mm.mxq_matmul(x, c, layout=_l), k)

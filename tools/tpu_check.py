@@ -17,6 +17,7 @@ import numpy as np
 from mxq_tpu import packfmt
 from mxq_tpu.config import MXQConfig
 from mxq_tpu.ops import mxq_matmul as mm
+from mxq_tpu.ops import uniform4 as u4
 from mxq_tpu.utils.benchlib import time_op
 from mxq_tpu.utils.profiling import Roofline
 
@@ -57,6 +58,10 @@ def main():
 
         wbf = jax.device_put(wdq_ref)
         pb = packed_bytes(p)
+        # AWQ-style uniform-4b baseline (the reference's third comparison
+        # column, test_mxq_gemv.py:57-80)
+        pu = u4.quantize_pack_u4(w)
+        pub = pu.w.size * 4 + pu.s.size * 2 + pu.z.size * 2
 
         def back_to_x(y, k):
             # Map [b, o] output back to an x-shaped carry, CONSUMING every
@@ -73,10 +78,13 @@ def main():
             t_bf = time_op(lambda w, x: back_to_x(x @ w, k), x0, const=wbf)
             t_q = time_op(lambda c, x: back_to_x(
                 mm.mxq_matmul(x, c, CFG, interpret=False), k), x0, const=p)
+            t_u4 = time_op(lambda c, x: back_to_x(
+                u4.u4_matmul(x, c), k), x0, const=pu)
             rl = Roofline("mxq_gemm", bytes_accessed=pb + 2 * b * (k + o),
                           flops=2 * b * o * k).report(t_q)
             print(f"  B={b:4d}: bf16 {t_bf*1e6:7.1f}us "
                   f"({o*k*2/t_bf/1e9:6.1f} GB/s) | "
+                  f"u4 {t_u4*1e6:7.1f}us ({pub/t_u4/1e9:6.1f} GB/s wt) | "
                   f"mxq {t_q*1e6:7.1f}us ({pb/t_q/1e9:6.1f} GB/s wt, "
                   f"{rl['pct_of_roofline']:5.1f}% roofline, {rl['bound']}-bound)"
                   f" | speedup {t_bf/t_q:5.2f}x | bits/w {8*pb/(o*k):4.2f}")
