@@ -63,28 +63,37 @@ class MXQLM:
 
     def loglikelihood(self, requests: Sequence[tuple[np.ndarray, np.ndarray]]
                       ) -> list[tuple[float, bool]]:
-        """requests: list of (context_tokens, continuation_tokens)."""
-        out: list[tuple[float, bool]] = []
-        bs = self.batch_size
-        # bucket to one padded length per batch for stable compiles
-        t_pad = 1
-        for c, g in requests:
-            t_pad = max(t_pad, len(c) + len(g))
-        t_pad = min(_round_pow2(t_pad), self.max_len)
+        """requests: list of (context_tokens, continuation_tokens).
 
-        for i in range(0, len(requests), bs):
-            chunk = requests[i:i + bs]
+        Requests are sorted by length and each batch pads only to ITS
+        longest member (rounded to a power of two, so at most
+        log2(max_len) compiled shapes) — the reference harness's reorderer
+        semantics (lm-eval base.py sorts descending before batching).
+        Padding to one global max instead runs mixed-length tasks at 2-4x
+        the needed tokens (VERDICT r2 weak #8). Results return in the
+        original request order; scores are pad-invariant (see _score_impl).
+        """
+        out: list[Optional[tuple[float, bool]]] = [None] * len(requests)
+        bs = self.batch_size
+        order = sorted(range(len(requests)),
+                       key=lambda i: len(requests[i][0]) + len(requests[i][1]))
+        for i in range(0, len(order), bs):
+            idxs = order[i:i + bs]
+            t_pad = max(len(requests[j][0]) + len(requests[j][1])
+                        for j in idxs)
+            t_pad = min(_round_pow2(max(t_pad, 2)), self.max_len)
             ids = np.zeros((bs, t_pad), np.int32)
             mask = np.zeros((bs, t_pad), np.int32)
-            for j, (ctx, cont) in enumerate(chunk):
+            for row, j in enumerate(idxs):
+                ctx, cont = requests[j]
                 seq = np.concatenate([ctx, cont])[-t_pad:]
                 n_cont = min(len(cont), len(seq))
-                ids[j, : len(seq)] = seq
-                mask[j, len(seq) - n_cont: len(seq)] = 1
+                ids[row, : len(seq)] = seq
+                mask[row, len(seq) - n_cont: len(seq)] = 1
             s, exact = self._score(jnp.asarray(ids), jnp.asarray(mask))
-            for j in range(len(chunk)):
-                out.append((float(s[j]), bool(exact[j])))
-        return out
+            for row, j in enumerate(idxs):
+                out[j] = (float(s[row]), bool(exact[row]))
+        return out  # type: ignore[return-value]
 
 
     def loglikelihood_rolling(self, streams: Sequence[np.ndarray],
@@ -309,60 +318,77 @@ def _hf_docs(loader):
 class PIQA(MultipleChoiceTask):
     name = "piqa"
 
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        """Raw piqa rows (goal/sol1/sol2/label) -> docs. The prompt format
+        is pinned by tests/test_harness_fixtures.py (the offline analogue
+        of the reference's tests/testdata request goldens)."""
+        return [MCDoc(f"Question: {d['goal']}\nAnswer:",
+                      [d["sol1"], d["sol2"]], d["label"]) for d in rows]
+
     def docs(self):
         def load():
             from datasets import load_dataset
-            ds = load_dataset("piqa", split="validation")
-            return [MCDoc(f"Question: {d['goal']}\nAnswer:",
-                          [d["sol1"], d["sol2"]], d["label"]) for d in ds]
+            return self.convert(load_dataset("piqa", split="validation"))
         return _hf_docs(load)
 
 
 class Winogrande(MultipleChoiceTask):
     name = "winogrande"
 
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        out = []
+        for d in rows:
+            idx = d["sentence"].index("_")
+            ctx = d["sentence"][:idx]
+            tail = d["sentence"][idx + 1:]
+            out.append(MCDoc(ctx, [d["option1"] + tail,
+                                   d["option2"] + tail],
+                             int(d["answer"]) - 1))
+        return out
+
     def docs(self):
         def load():
             from datasets import load_dataset
-            ds = load_dataset("winogrande", "winogrande_xl",
-                             split="validation")
-            out = []
-            for d in ds:
-                idx = d["sentence"].index("_")
-                ctx = d["sentence"][:idx]
-                tail = d["sentence"][idx + 1:]
-                out.append(MCDoc(ctx, [d["option1"] + tail,
-                                       d["option2"] + tail],
-                                 int(d["answer"]) - 1))
-            return out
+            return self.convert(load_dataset(
+                "winogrande", "winogrande_xl", split="validation"))
         return _hf_docs(load)
 
 
 class HellaSwag(MultipleChoiceTask):
     name = "hellaswag"
 
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc(d["ctx"], d["endings"], int(d["label"]))
+                for d in rows]
+
     def docs(self):
         def load():
             from datasets import load_dataset
-            ds = load_dataset("hellaswag", split="validation")
-            return [MCDoc(d["ctx"], d["endings"], int(d["label"]))
-                    for d in ds]
+            return self.convert(
+                load_dataset("hellaswag", split="validation"))
         return _hf_docs(load)
 
 
 class ArcEasy(MultipleChoiceTask):
     name = "arc_easy"
 
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        out = []
+        for d in rows:
+            gold = d["choices"]["label"].index(d["answerKey"])
+            out.append(MCDoc(f"Question: {d['question']}\nAnswer:",
+                             d["choices"]["text"], gold))
+        return out
+
     def docs(self):
         def load():
             from datasets import load_dataset
-            ds = load_dataset("ai2_arc", "ARC-Easy", split="validation")
-            out = []
-            for d in ds:
-                gold = d["choices"]["label"].index(d["answerKey"])
-                out.append(MCDoc(f"Question: {d['question']}\nAnswer:",
-                                 d["choices"]["text"], gold))
-            return out
+            return self.convert(
+                load_dataset("ai2_arc", "ARC-Easy", split="validation"))
         return _hf_docs(load)
 
 
@@ -371,20 +397,24 @@ class ArcChallenge(MultipleChoiceTask):
     harness's ARCChallenge subclass, tasks/arc.py:54-79)."""
     name = "arc_challenge"
 
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        num2let = {"1": "A", "2": "B", "3": "C", "4": "D", "5": "E"}
+        out = []
+        for d in rows:
+            key = num2let.get(d["answerKey"], d["answerKey"])
+            gold = d["choices"]["label"].index(d["answerKey"]) \
+                if d["answerKey"] in d["choices"]["label"] \
+                else ["A", "B", "C", "D", "E"].index(key)
+            out.append(MCDoc(f"Question: {d['question']}\nAnswer:",
+                             d["choices"]["text"], gold))
+        return out
+
     def docs(self):
         def load():
             from datasets import load_dataset
-            ds = load_dataset("ai2_arc", "ARC-Challenge", split="validation")
-            num2let = {"1": "A", "2": "B", "3": "C", "4": "D", "5": "E"}
-            out = []
-            for d in ds:
-                key = num2let.get(d["answerKey"], d["answerKey"])
-                gold = d["choices"]["label"].index(d["answerKey"]) \
-                    if d["answerKey"] in d["choices"]["label"] \
-                    else ["A", "B", "C", "D", "E"].index(key)
-                out.append(MCDoc(f"Question: {d['question']}\nAnswer:",
-                                 d["choices"]["text"], gold))
-            return out
+            return self.convert(load_dataset(
+                "ai2_arc", "ARC-Challenge", split="validation"))
         return _hf_docs(load)
 
 
@@ -393,13 +423,17 @@ class BoolQ(MultipleChoiceTask):
     passage + question, continuations " no"/" yes", gold = label)."""
     name = "boolq"
 
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc(f"{d['passage']}\nQuestion: {d['question']}?"
+                      f"\nAnswer:", ["no", "yes"], int(d["label"]))
+                for d in rows]
+
     def docs(self):
         def load():
             from datasets import load_dataset
-            ds = load_dataset("super_glue", "boolq", split="validation")
-            return [MCDoc(f"{d['passage']}\nQuestion: {d['question']}?"
-                          f"\nAnswer:", ["no", "yes"], int(d["label"]))
-                    for d in ds]
+            return self.convert(load_dataset(
+                "super_glue", "boolq", split="validation"))
         return _hf_docs(load)
 
 
@@ -408,15 +442,19 @@ class SIQA(MultipleChoiceTask):
     labels are 1-based)."""
     name = "siqa"
 
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc(f"Question: {d['context']} {d['question']}"
+                      f"\nAnswer:",
+                      [d["answerA"], d["answerB"], d["answerC"]],
+                      int(d["label"]) - 1)
+                for d in rows]
+
     def docs(self):
         def load():
             from datasets import load_dataset
-            ds = load_dataset("social_i_qa", split="validation")
-            return [MCDoc(f"Question: {d['context']} {d['question']}"
-                          f"\nAnswer:",
-                          [d["answerA"], d["answerB"], d["answerC"]],
-                          int(d["label"]) - 1)
-                    for d in ds]
+            return self.convert(
+                load_dataset("social_i_qa", split="validation"))
         return _hf_docs(load)
 
 
@@ -424,13 +462,17 @@ class OpenBookQA(MultipleChoiceTask):
     """OBQA: context is the bare question stem (tasks/openbookqa.py:55-65)."""
     name = "obqa"
 
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc(d["question_stem"], d["choices"]["text"],
+                      ["A", "B", "C", "D"].index(d["answerKey"].strip()))
+                for d in rows]
+
     def docs(self):
         def load():
             from datasets import load_dataset
-            ds = load_dataset("openbookqa", "main", split="validation")
-            return [MCDoc(d["question_stem"], d["choices"]["text"],
-                          ["A", "B", "C", "D"].index(d["answerKey"].strip()))
-                    for d in ds]
+            return self.convert(
+                load_dataset("openbookqa", "main", split="validation"))
         return _hf_docs(load)
 
 

@@ -174,3 +174,35 @@ class TestCachingLM:
         a = clm.greedy_generate(ctx, max_new_tokens=4)
         b = clm.greedy_generate(ctx, max_new_tokens=4)
         np.testing.assert_array_equal(a, b)
+
+
+def test_length_bucketed_batching_order_and_economy():
+    """Mixed-length requests: results come back in request order, bucketed
+    batches pad only to their own max (not the global max), and scores
+    match the one-request-at-a-time oracle."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    lm = harness.MXQLM(params, CFG, batch_size=2)
+
+    shapes = []
+    orig = lm._score
+
+    def spy(ids, mask):
+        shapes.append(ids.shape)
+        return orig(ids, mask)
+
+    lm._score = spy
+    ctx_s = toy_tokenize("ab")
+    ctx_l = toy_tokenize("a considerably longer context string here")
+    reqs = [(ctx_l, toy_tokenize(" tail one")),
+            (ctx_s, toy_tokenize(" x")),
+            (ctx_l, toy_tokenize(" tail two!")),
+            (ctx_s, toy_tokenize(" y"))]
+    got = lm.loglikelihood(reqs)
+
+    # short pair batched together at a smaller pad than the long pair
+    assert len(shapes) == 2
+    assert min(s[1] for s in shapes) < max(s[1] for s in shapes)
+    # order preserved: each matches the single-request score
+    for r, g in zip(reqs, got):
+        (s_one, _), = lm.loglikelihood([r])
+        assert abs(s_one - g[0]) < 1e-4

@@ -1,0 +1,156 @@
+"""Recorded-fixture tests pinning every real task's doc construction.
+
+The reference pins request construction with 698 golden files
+(lm-evaluation-harness/tests/testdata); here each task's ``convert`` runs on
+checked-in raw rows (the upstream dataset schemas) and the resulting
+context / choices / gold are asserted verbatim, so a prompt-format drift —
+which silently shifts every accuracy number — fails CI offline."""
+
+from mxq_tpu.eval import harness
+
+
+def _doc(task_cls, row):
+    docs = task_cls.convert([row])
+    assert len(docs) == 1
+    return docs[0]
+
+
+def test_piqa_prompt_format():
+    d = _doc(harness.PIQA, dict(
+        goal="How do I ready a guinea pig cage for its new occupants?",
+        sol1="Provide the guinea pig with a cage full of a few inches of "
+             "bedding made of ripped paper strips.",
+        sol2="Provide the guinea pig with a cage full of a few inches of "
+             "bedding made of ripped jeans material.",
+        label=0))
+    # lm-eval tasks/piqa.py doc_to_text: "Question: " + goal + "\nAnswer:"
+    assert d.context == ("Question: How do I ready a guinea pig cage for "
+                         "its new occupants?\nAnswer:")
+    assert len(d.choices) == 2 and d.choices[0].startswith("Provide")
+    assert d.gold == 0
+
+
+def test_winogrande_partial_context():
+    d = _doc(harness.Winogrande, dict(
+        sentence="John moved the couch from the garage to the backyard to "
+                 "create space. The _ is small.",
+        option1="garage", option2="backyard", answer="1"))
+    # lm-eval tasks/winogrande.py partial_context: context is the sentence
+    # up to the blank; each option is scored as option + tail
+    assert d.context == ("John moved the couch from the garage to the "
+                         "backyard to create space. The ")
+    assert d.choices == ["garage is small.", "backyard is small."]
+    assert d.gold == 0
+
+
+def test_hellaswag_raw_ctx_endings():
+    d = _doc(harness.HellaSwag, dict(
+        ctx="A man is sitting on a roof. He",
+        endings=["is using wrap to wrap a pair of skis.",
+                 "is ripping level tiles off.",
+                 "is holding a rubik's cube.",
+                 "starts pulling up roofing on a roof."],
+        label="3"))
+    assert d.context == "A man is sitting on a roof. He"
+    assert len(d.choices) == 4
+    assert d.gold == 3
+
+
+def test_arc_easy_letter_and_number_keys():
+    row = dict(question="Which factor will most likely cause a person to "
+                        "develop a fever?",
+               choices=dict(text=["a leg muscle relaxing after exercise",
+                                  "a bacterial population in the bloodstream",
+                                  "several viral particles on the skin",
+                                  "carbohydrates being digested in the "
+                                  "stomach"],
+                            label=["A", "B", "C", "D"]),
+               answerKey="B")
+    d = _doc(harness.ArcEasy, row)
+    assert d.context == ("Question: Which factor will most likely cause a "
+                         "person to develop a fever?\nAnswer:")
+    assert d.gold == 1
+
+
+def test_arc_challenge_numeric_answer_key():
+    """Some ARC rows use numeric labels; answerKey '3' with labels
+    ['1','2','3','4'] must resolve via the label list, and letter keys via
+    the letter mapping (tasks/arc.py num_to_letter)."""
+    row = dict(question="Q?", answerKey="3",
+               choices=dict(text=["a", "b", "c", "d"],
+                            label=["1", "2", "3", "4"]))
+    assert _doc(harness.ArcChallenge, row).gold == 2
+    row2 = dict(question="Q?", answerKey="C",
+                choices=dict(text=["a", "b", "c", "d"],
+                             label=["A", "B", "C", "D"]))
+    assert _doc(harness.ArcChallenge, row2).gold == 2
+
+
+def test_boolq_yes_no_continuations():
+    d = _doc(harness.BoolQ, dict(
+        passage="The Vampire Diaries, an American supernatural drama, was "
+                "renewed for an eighth season.",
+        question="will there be a season 8 of vampire diaries",
+        label=1))
+    # tasks/superglue.py:35-80: passage + "\nQuestion: " + question + "?\n
+    # Answer:"; continuations " no"/" yes"
+    assert d.context.endswith("?\nAnswer:")
+    assert d.context.startswith("The Vampire Diaries")
+    assert d.choices == ["no", "yes"]
+    assert d.gold == 1
+
+
+def test_siqa_three_way_one_based_label():
+    d = _doc(harness.SIQA, dict(
+        context="Cameron decided to have a barbecue and gathered her "
+                "friends together.",
+        question="How would Others feel as a result?",
+        answerA="like attending", answerB="like staying home",
+        answerC="a good friend to have", label="1"))
+    assert d.context == ("Question: Cameron decided to have a barbecue and "
+                         "gathered her friends together. How would Others "
+                         "feel as a result?\nAnswer:")
+    assert d.choices == ["like attending", "like staying home",
+                         "a good friend to have"]
+    assert d.gold == 0
+
+
+def test_obqa_bare_stem_context():
+    d = _doc(harness.OpenBookQA, dict(
+        question_stem="The sun is responsible for",
+        choices=dict(text=["puppies learning new tricks",
+                           "children growing up and getting old",
+                           "flowers wilting in a vase",
+                           "plants sprouting, blooming and wilting"],
+                     label=["A", "B", "C", "D"]),
+        answerKey="D"))
+    # tasks/openbookqa.py:55-65: context is the bare stem (no Question:)
+    assert d.context == "The sun is responsible for"
+    assert d.gold == 3
+
+
+def test_mc_continuation_tokenization_protocol():
+    """The evaluate() loop must score ' ' + choice.strip() — the harness's
+    continuation spacing (base.py MultipleChoiceTask construct_requests)."""
+    captured = []
+
+    class LM:
+        def loglikelihood(self, reqs):
+            captured.extend(reqs)
+            return [(float(-i), False) for i in range(len(reqs))]
+
+    class T(harness.MultipleChoiceTask):
+        name = "t"
+
+        def docs(self):
+            return [harness.MCDoc("ctx", ["a", " b "], 0)]
+
+    def tok(s):
+        import numpy as np
+        return np.asarray([len(s)] + [ord(c) % 7 for c in s[:3]],
+                          dtype=np.int32)
+
+    T().evaluate(LM(), tok)
+    # continuation text is " a" and " b" (strip then prepend one space)
+    assert captured[0][1][0] == len(" a")
+    assert captured[1][1][0] == len(" b")
