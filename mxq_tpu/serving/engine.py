@@ -193,6 +193,10 @@ class Engine:
         self._chunk_no = 0                       # PRNG stream for sampling
         self._pending_first = {}                 # slot -> device first token
         self._stream_buf = None                  # set by stream()
+        # speculative-decoding acceptance accounting (filled by spec.run_spec
+        # / run_spec_pipelined): rounds = verify rounds, accepted = tokens
+        # emitted, dispatches = host->device launches
+        self._spec_stats = {"rounds": 0, "accepted": 0, "dispatches": 0}
         self._key_decode, self._key_prefill = jax.random.split(
             jax.random.PRNGKey(ecfg.seed))
 
@@ -340,6 +344,16 @@ class Engine:
                 e2e_p50_s=float(np.percentile(e2e, 50)),
                 e2e_p95_s=float(np.percentile(e2e, 95)),
                 tokens_per_sec=sum(len(r.generated) for r in fin) / span)
+        st = self._spec_stats
+        if st["rounds"]:
+            out.update(
+                spec_verify_rounds=st["rounds"],
+                spec_dispatches=st["dispatches"],
+                # tokens yielded per verify round (1 = no draft accepted;
+                # draft_len+1 = full acceptance)
+                spec_accept_len_mean=st["accepted"] / st["rounds"],
+                spec_tokens_per_dispatch=(st["accepted"]
+                                          / max(st["dispatches"], 1)))
         return out
 
     def cancel(self, req: "Request | int") -> bool:

@@ -23,6 +23,7 @@ reads replace the T sequential decode steps' reads).
 
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -75,12 +76,256 @@ def _get_verify(engine: "eng.Engine", t: int):
     return cache[key]
 
 
+# ---- device-side drafting + chained verification (pipelined path) ----
+#
+# The synchronous loop below pays one host round-trip per verify — through a
+# relayed TPU (~25 ms RTT) that forfeits most of the speedup. The pipelined
+# path moves BOTH the draft and the accept logic on device: a jitted chunk
+# runs `rounds` draft->verify->accept iterations under lax.scan against a
+# device-resident recent-history window, and the host chains chunk k+1
+# before fetching chunk k (the engine._dispatch pattern). Greedy outputs
+# remain exactly those of plain decode — drafts only change how many tokens
+# a round yields.
+
+HIST_WINDOW = 128   # device-resident history (tokens) the drafter can match
+
+
+def _device_ngram_draft(hist, hist_len, last_tok, ngram: int, d: int):
+    """Vectorized prompt-lookup over the [B, H] history window (most recent
+    token at column H-1; left-padded). Returns drafts [B, d]. Semantics
+    mirror ngram_draft() restricted to the last H tokens: rightmost earlier
+    occurrence of the trailing n-gram wins; fallback repeats the last
+    token."""
+    b, h = hist.shape
+    n = ngram
+    w = h - n                                    # candidate window starts
+    key = hist[:, h - n:]                        # [B, n] trailing n-gram
+    idx = jnp.arange(w)[:, None] + jnp.arange(n)[None, :]
+    hist_w = hist[:, idx]                        # [B, W, n]
+    starts = jnp.arange(w)[None, :]
+    in_hist = starts >= (h - hist_len[:, None])  # window fully in real tokens
+    match = (hist_w == key[:, None, :]).all(-1) & in_hist \
+        & (hist_len >= n + 1)[:, None]
+    i_best = jnp.max(jnp.where(match, starts, -1), axis=1)   # [B]
+    found = i_best >= 0
+    cont = i_best[:, None] + n + jnp.arange(d)[None, :]      # [B, d]
+    ok = found[:, None] & (cont <= h - 1)
+    toks = jnp.take_along_axis(hist, jnp.clip(cont, 0, h - 1), axis=1)
+    return jnp.where(ok, toks, last_tok[:, None]).astype(jnp.int32)
+
+
+def _accept_count(toks, preds, act):
+    """[B] tokens yielded by one verify round: 1 + the number of leading
+    draft positions whose draft token equals the verified prediction
+    (toks[:, 1:] are the drafts, preds[:, :-1] the predictions they must
+    match); 0 for slots sitting the round out."""
+    ok = (toks[:, 1:] == preds[:, :-1]).astype(jnp.int32)
+    return jnp.where(act, 1 + jnp.sum(jnp.cumprod(ok, axis=1), axis=1), 0)
+
+
+def _hist_append(hist, hist_len, preds, n_acc):
+    """Append the first n_acc[b] tokens of preds[b] to each slot's history
+    shift-register. ext = [hist | preds]; new window = ext[n_acc : n_acc+H]
+    — indices >= H + n_acc (the rejected tail) are never selected."""
+    b, h = hist.shape
+    ext = jnp.concatenate([hist, preds], axis=1)
+    idx = n_acc[:, None] + jnp.arange(h)[None, :]
+    return (jnp.take_along_axis(ext, idx, axis=1),
+            jnp.minimum(hist_len + n_acc, h))
+
+
+def _get_spec_chunk(engine: "eng.Engine", d: int, rounds: int, ngram: int):
+    key = ("spec_chunk", d, rounds, ngram)
+    cache = engine._prefill
+    if key not in cache:
+        cfg = engine.cfg
+        max_len = engine.ecfg.max_len
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def spec_chunk(params, caches, hist, hist_len, pos, last_tok,
+                       active):
+            def round_fn(carry, _):
+                caches, hist, hist_len, pos, last_tok = carry
+                # belt-and-suspenders: slots whose writes could run past the
+                # cache sit this chunk out (the host also bounds the chain)
+                act = active & (pos + d + 1 <= max_len - 1)
+                drafts = _device_ngram_draft(hist, hist_len, last_tok,
+                                             ngram, d)
+                toks = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+                logits, caches2 = eng._forward_multipos(
+                    params, toks, cfg, caches, jnp.where(act, pos, 0))
+                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                preds = jnp.where(act[:, None], preds, 0)
+                # accept draft i while every earlier draft matched its
+                # verified prediction (junk rows land above the frontier
+                # and are invisible/overwritten, as in run_spec)
+                n_acc = _accept_count(toks, preds, act)       # [B]
+                last = jnp.take_along_axis(
+                    preds, jnp.maximum(n_acc - 1, 0)[:, None], axis=1)[:, 0]
+                last_tok = jnp.where(act, last, last_tok)
+                hist, hist_len = _hist_append(hist, hist_len, preds, n_acc)
+                pos = pos + n_acc
+                return (caches2, hist, hist_len, pos, last_tok), \
+                    (preds, n_acc)
+
+            (caches, hist, hist_len, pos, last_tok), (toks_out, nacc_out) = \
+                jax.lax.scan(round_fn,
+                             (caches, hist, hist_len, pos, last_tok),
+                             None, length=rounds)
+            return caches, hist, hist_len, pos, last_tok, toks_out, nacc_out
+
+        cache[key] = spec_chunk
+    return cache[key]
+
+
+def _build_hist(engine: "eng.Engine", h: int):
+    """Host-side (re)build of the device history window from request
+    state."""
+    b = engine.ecfg.num_slots
+    hist = np.zeros((b, h), np.int32)
+    hist_len = np.zeros((b,), np.int32)
+    for s in range(b):
+        uid = engine._slot_uid[s]
+        if uid is None:
+            continue
+        req = engine._reqs[uid]
+        full = np.concatenate([np.asarray(req.prompt, np.int32),
+                               np.asarray(req.generated, np.int32)])
+        tail = full[-h:]
+        hist[s, h - len(tail):] = tail
+        hist_len[s] = len(tail)
+    return hist, hist_len
+
+
+def run_spec_pipelined(engine: "eng.Engine", draft_len: int = 4,
+                       ngram: int = 3, rounds: int = 4) -> list:
+    """Drain the engine's queue with pipelined speculative greedy decoding:
+    drafting + acceptance run on device (`rounds` verify rounds per
+    dispatch) and chunk k+1 is dispatched before chunk k's tokens are
+    fetched, so the host RTT and bookkeeping overlap device compute.
+    Outputs match engine.run() greedy exactly. Acceptance statistics
+    accumulate on the engine (see Engine.stats: spec_*)."""
+    assert engine.ecfg.greedy, "speculative decoding is greedy-only"
+    assert engine._inflight is None, \
+        "drain the pipelined decode loop before speculative decoding"
+    done: list = []
+    b = engine.ecfg.num_slots
+    max_len = engine.ecfg.max_len
+    d = draft_len
+    worst = rounds * (d + 1)
+    engine._admit(done)
+    engine._flush_pending_first(done)
+
+    def process(snap) -> bool:
+        """Fetch one chunk's outputs; returns True if any slot retired."""
+        toks = np.asarray(snap["toks"])          # [rounds, B, d+1]
+        nacc = np.asarray(snap["nacc"])          # [rounds, B]
+        now = time.monotonic()
+        retired = False
+        st = engine._spec_stats
+        st["dispatches"] += 1
+        for r in range(toks.shape[0]):
+            for s in range(b):
+                uid = snap["uids"][s]
+                n = int(nacc[r, s])
+                if uid is None or engine._slot_uid[s] != uid or n == 0:
+                    continue
+                st["rounds"] += 1
+                st["accepted"] += n
+                req = engine._reqs[uid]
+                for i in range(n):
+                    tok = int(toks[r, s, i])
+                    req.generated.append(tok)
+                    if not req.t_first:
+                        req.t_first = now
+                    engine._last_tok[s] = tok
+                    engine._pos[s] += 1
+                    if engine._sched.on_token(s, tok):
+                        req.done = True
+                        req.t_done = now
+                        done.append(req)
+                        engine._slot_uid[s] = None
+                        retired = True
+                        break
+        return retired
+
+    state = None       # device-chained (hist, hist_len, pos, last_tok)
+    state_uids = None  # slot occupancy the chained state was built for
+    inflight = None
+    pos_bound = None   # worst-case device pos while chunks are in flight
+    while engine._active_mask().any() or engine._sched.pending > 0 \
+            or inflight is not None:
+        active = engine._active_mask()
+        can_chain = (active.any() and state is not None
+                     and state_uids == list(engine._slot_uid)
+                     and all(pos_bound[s] + worst <= max_len - 1
+                             for s in np.where(active)[0]))
+        if can_chain:
+            spec_chunk = _get_spec_chunk(engine, d, rounds, ngram)
+            caches, hist, hlen, pos_d, last_d, toks, nacc = spec_chunk(
+                engine.params, engine.caches, *state,
+                jnp.asarray(active))
+            engine.caches = caches
+            if jax.default_backend() == "cpu":
+                jax.block_until_ready(toks)   # same CPU-runtime note as
+                                              # engine._dispatch
+            snap = dict(toks=toks, nacc=nacc,
+                        uids=list(engine._slot_uid))
+            for s in np.where(active)[0]:
+                pos_bound[s] += worst
+            state = (hist, hlen, pos_d, last_d)
+            if inflight is not None:
+                if process(inflight):
+                    # retirement invalidates the chained state: drain the
+                    # new chunk too and rebuild from host truth
+                    process(snap)
+                    snap = None
+                    state = None
+            inflight = snap
+            # admissions change slot occupancy -> state_uids mismatch next
+            # iteration forces a drain + rebuild (a new slot's device-side
+            # hist/pos would be stale)
+            engine._admit(done)
+            engine._flush_pending_first(done)
+            continue
+        # resync path: drain in-flight work, rebuild device state
+        if inflight is not None:
+            process(inflight)
+            inflight = None
+            state = None
+            engine._admit(done)
+            engine._flush_pending_first(done)
+            continue
+        if not active.any():
+            engine._admit(done)
+            engine._flush_pending_first(done)
+            if not engine._active_mask().any() \
+                    and engine._sched.pending == 0:
+                break
+            continue
+        room = int(min(max_len - 1 - engine._pos[s]
+                       for s in np.where(active)[0]))
+        if room < worst + 1:
+            # near the cache end: the synchronous loop shrinks d_eff to fit
+            done.extend(run_spec(engine, draft_len=d, ngram=ngram))
+            state = None
+            continue
+        hist, hist_len = _build_hist(engine, HIST_WINDOW)
+        state = (jnp.asarray(hist), jnp.asarray(hist_len),
+                 jnp.asarray(engine._pos.astype(np.int32)),
+                 jnp.asarray(engine._last_tok.astype(np.int32)))
+        state_uids = list(engine._slot_uid)
+        pos_bound = engine._pos.astype(int).copy()
+    return done
+
+
 def run_spec(engine: "eng.Engine", draft_len: int = 4,
              ngram: int = 3) -> list:
     """Drain the engine's queue with prompt-lookup speculative GREEDY
     decoding. Returns finished requests; generations match engine.run()
     greedy exactly (tested). Synchronous dispatch (one verify round-trip
-    per step); combine with pipelining later if profitable."""
+    per step) — run_spec_pipelined is the fast path; this remains the
+    simple oracle and the near-cache-end fallback."""
     assert engine.ecfg.greedy, "speculative decoding is greedy-only"
     assert engine._inflight is None, \
         "drain the pipelined loop (process its in-flight chunk) before " \
@@ -115,8 +360,8 @@ def run_spec(engine: "eng.Engine", draft_len: int = 4,
             jnp.array(np.where(active, engine._pos, 0).astype(np.int32)),
             jnp.array(active))
         preds = np.asarray(preds)                      # [B, d_eff+1]
-        import time
         now = time.monotonic()
+        engine._spec_stats["dispatches"] += 1
         for s in act_idx:
             uid = engine._slot_uid[s]
             req = engine._reqs[uid]
@@ -139,6 +384,8 @@ def run_spec(engine: "eng.Engine", draft_len: int = 4,
                 if i < d_eff and int(toks[s, i + 1]) != tok:
                     break
             engine._pos[s] += consumed
+            engine._spec_stats["rounds"] += 1
+            engine._spec_stats["accepted"] += consumed
         engine._admit(done)
         engine._flush_pending_first(done)
     return done

@@ -139,18 +139,28 @@ class TestQuantCacheDecode:
         assert quant_bytes < dense_bytes / 3  # int8 vs f32 here
 
 
+def _spec_run(holder, prompt, n_new, draft_len=4, ngram=3, nreq=1,
+              pipelined=False):
+    from mxq_tpu.serving import spec
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    e = eng.Engine(params, CFG, eng.EngineConfig(
+        num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
+    reqs = [e.submit(prompt + i, max_new_tokens=n_new)
+            for i in range(nreq)]
+    if pipelined:
+        spec.run_spec_pipelined(e, draft_len=draft_len, ngram=ngram,
+                                rounds=2)
+    else:
+        spec.run_spec(e, draft_len=draft_len, ngram=ngram)
+    refs = [greedy_reference(params, CFG, prompt + i, n_new)
+            for i in range(nreq)]
+    holder.last_engine = e
+    return reqs, refs
+
+
 class TestSpeculative:
     def _run(self, prompt, n_new, draft_len=4, ngram=3, nreq=1):
-        from mxq_tpu.serving import spec
-        params = llama.init_params(CFG, jax.random.PRNGKey(0))
-        e = eng.Engine(params, CFG, eng.EngineConfig(
-            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
-        reqs = [e.submit(prompt + i, max_new_tokens=n_new)
-                for i in range(nreq)]
-        spec.run_spec(e, draft_len=draft_len, ngram=ngram)
-        refs = [greedy_reference(params, CFG, prompt + i, n_new)
-                for i in range(nreq)]
-        return reqs, refs
+        return _spec_run(self, prompt, n_new, draft_len, ngram, nreq)
 
     @pytest.mark.slow
     def test_repetitive_prompt_matches_greedy(self):
@@ -233,6 +243,102 @@ class TestStats:
         assert s["tokens_generated"] >= 12
         assert s["ttft_p50_s"] > 0 and s["e2e_p95_s"] >= s["ttft_p50_s"]
         assert s["tokens_per_sec"] > 0
+
+
+class TestSpeculativePipelined:
+    """The pipelined path (device-side drafting + accept, chained chunks)
+    must be exactly as lossless as the synchronous oracle."""
+
+    def _run(self, prompt, n_new, draft_len=4, ngram=3, nreq=1,
+             pipelined=True):
+        return _spec_run(self, prompt, n_new, draft_len, ngram, nreq,
+                         pipelined=pipelined)
+
+    def test_repetitive_prompt_exact_and_stats(self):
+        prompt = np.array([5, 6, 7, 8] * 5, np.int32)
+        reqs, refs = self._run(prompt, 10, pipelined=True)
+        assert reqs[0].generated[:10] == refs[0]
+        s = self.last_engine.stats()
+        # the random-init tiny model's continuation is not actually
+        # repetitive, so acceptance ~1 here; the >1 case is pinned by
+        # test_accept_count_math and measured on real weights
+        assert s["spec_verify_rounds"] >= 1
+        assert s["spec_accept_len_mean"] >= 1.0
+        assert s["spec_tokens_per_dispatch"] >= s["spec_accept_len_mean"]
+
+    def test_accept_count_math(self):
+        """Acceptance = 1 + longest verified draft prefix, exactly."""
+        from mxq_tpu.serving import spec
+        import jax.numpy as jnp
+        toks = jnp.array([[10, 1, 2, 3],     # drafts 1,2,3
+                          [10, 1, 9, 3],
+                          [10, 9, 9, 9],
+                          [10, 1, 2, 3]])
+        preds = jnp.array([[1, 2, 3, 4],     # model agrees with all 3
+                           [1, 2, 3, 4],     # rejects at draft 2
+                           [1, 2, 3, 4],     # rejects immediately
+                           [1, 2, 3, 4]])
+        act = jnp.array([True, True, True, False])
+        n = np.asarray(spec._accept_count(toks, preds, act))
+        assert list(n) == [4, 2, 1, 0]
+
+    @pytest.mark.slow
+    def test_random_prompt_matches_greedy(self):
+        rng = np.random.RandomState(3)
+        prompt = rng.randint(1, CFG.vocab_size, size=12).astype(np.int32)
+        reqs, refs = self._run(prompt, 8, pipelined=True)
+        assert reqs[0].generated[:8] == refs[0]
+
+    @pytest.mark.slow
+    def test_multi_request_slot_reuse(self):
+        """Retirement + admission mid-chain forces drain/rebuild resyncs;
+        every request must still be exact."""
+        prompt = np.array([9, 10, 11] * 4, np.int32)
+        reqs, refs = self._run(prompt, 6, nreq=5, pipelined=True)
+        for r, ref in zip(reqs, refs):
+            assert r.done and r.generated[:6] == ref
+
+    @pytest.mark.slow
+    def test_near_cache_end_falls_back(self):
+        """Prompts long enough that rounds*(draft+1) would overrun max_len
+        route through the synchronous fallback and stay exact."""
+        from mxq_tpu.serving import spec
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=32, prefill_buckets=(16,), kv_quant=False))
+        prompt = np.array([3, 4] * 6, np.int32)
+        r = e.submit(prompt, max_new_tokens=12)
+        spec.run_spec_pipelined(e, draft_len=4, ngram=3, rounds=4)
+        ref = greedy_reference(params, CFG, prompt, 12)
+        assert r.generated[:12] == ref
+
+    def test_spec_int8_kv_matches_plain_int8_engine(self):
+        from mxq_tpu.serving import spec
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.array([4, 5, 6] * 5, np.int32)
+
+        e1 = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=True))
+        r1 = e1.submit(prompt, max_new_tokens=8)
+        e1.run()
+
+        e2 = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=True))
+        r2 = e2.submit(prompt, max_new_tokens=8)
+        spec.run_spec_pipelined(e2, draft_len=4, rounds=2)
+        assert r2.generated[:8] == r1.generated[:8]
+
+    @pytest.mark.slow
+    def test_spec_with_chunked_prefill_prompt(self):
+        from mxq_tpu.serving import spec
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.array(list(range(2, 2 + 9)) * 4, np.int32)  # 36 > 16
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
+        r = e.submit(prompt, max_new_tokens=6)
+        spec.run_spec_pipelined(e, draft_len=3, rounds=2)
+        ref = greedy_reference(params, CFG, prompt, 6)
+        assert r.generated[:6] == ref
 
 
 class TestStream:
