@@ -27,6 +27,10 @@ class LoopConfig:
     save_total_limit: int = 1        # run_train.sh:31
     log_steps: int = 10
     max_steps: Optional[int] = None
+    # metrics backend (run_train.sh:30 `--report_to tensorboard` analogue):
+    # TensorBoard event files + metrics.jsonl under <output_dir>/logs.
+    # None disables; "auto" derives from output_dir.
+    logdir: Optional[str] = "auto"
 
 
 def _ckpt_mgr(path: str, limit: int):
@@ -75,9 +79,15 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
     loop stitches them into global arrays and logs/saves from the
     coordinator (orbax writes are collective; every host participates)."""
     from mxq_tpu.parallel import multihost
+    from mxq_tpu.utils.metrics import MetricsWriter
     multi = jax.process_count() > 1
-    if multi and not multihost.is_coordinator():
+    coordinator = not multi or multihost.is_coordinator()
+    if not coordinator:
         log = lambda *_a, **_k: None  # noqa: E731 — log once, on host 0
+    logdir = lc.logdir
+    if logdir == "auto":
+        logdir = os.path.join(lc.output_dir, "logs")
+    writer = MetricsWriter(logdir if coordinator else None)
     opt = train_mod.make_optimizer(tc)
     if mesh is not None:
         params = sharding.shard_params(params, mesh)
@@ -117,9 +127,14 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
         if step % lc.log_steps == 0:
             loss = float(metrics["loss"])
             losses.append(loss)
+            s_per_step = (time.time() - t0) / lc.log_steps
             log(f"step {step}: loss={loss:.4f} "
                 f"gnorm={float(metrics['grad_norm']):.3f} "
-                f"({(time.time() - t0) / lc.log_steps:.2f}s/step)")
+                f"({s_per_step:.2f}s/step)")
+            writer.log(step, **{"train/loss": loss,
+                                "train/grad_norm":
+                                    float(metrics["grad_norm"]),
+                                "train/seconds_per_step": s_per_step})
             t0 = time.time()
         if step % lc.save_steps == 0:
             save_checkpoint(mgr, step, params, opt_state)
@@ -140,4 +155,6 @@ def run_training(params, teacher_params, cfg: llama.LlamaConfig,
             tot += float(ev(params, vb))
         out["eval_ppl"] = float(np.exp(tot / len(val_batches)))
         log(f"eval ppl (exp of mean val loss): {out['eval_ppl']:.4f}")
+        writer.log(step, **{"eval/ppl": out["eval_ppl"]})
+    writer.close()
     return out

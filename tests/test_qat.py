@@ -101,3 +101,25 @@ def test_merge_chunks(tmp_path):
     assert n == 6
     texts = qdata.read_jsonl_texts(str(tmp_path / "all_gen.jsonl"))
     assert len(texts) == 6
+
+
+def test_metrics_backends_write(tmp_path):
+    """The loop's metrics writer produces BOTH TensorBoard event files and
+    a greppable metrics.jsonl (run_train.sh:30 --report_to tensorboard
+    analogue)."""
+    import glob
+    import json as _json
+
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    tc = train.TrainConfig(use_kd=False, total_steps=6, remat=False)
+    lc = loop.LoopConfig(output_dir=str(tmp_path / "ckpt"), save_steps=10,
+                         log_steps=2, max_steps=4)
+    batch = {"input_ids": jnp.ones((2, 16), jnp.int32)}
+    loop.run_training(params, None, CFG, tc, lc, iter([batch] * 6),
+                      val_batches=[batch])
+    logdir = tmp_path / "ckpt" / "logs"
+    recs = [_json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    tags = set().union(*(set(r) for r in recs))
+    assert "train/loss" in tags and "eval/ppl" in tags
+    assert sorted(r["step"] for r in recs if "train/loss" in r) == [2, 4]
+    assert glob.glob(str(logdir / "events.out.tfevents.*"))
