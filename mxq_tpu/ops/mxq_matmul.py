@@ -347,16 +347,31 @@ def _body_for(layout: str):
             "bfexp": _kernel_body_bfexp}[layout]
 
 
-def _pick_kt_mult(n_kt: int, n_tiles: int = 8) -> int:
+def _step_vmem_bytes(km: int, block_b: int, block_n: int) -> int:
+    """Nominal (single-copy) VMEM footprint of one grid step's inputs +
+    accumulators. Mosaic's actual scoped allocation runs ~3.8x this
+    (multi-buffering + retiling copies, calibrated against the compiler's
+    own numbers: B=8 km=4 bn=1024 -> est 3.8 MB / real 14.3 MB;
+    B=128 km=4 -> est 7.5 MB / real 28.7 MB, a compile-time OOM at the
+    16 MB scope). The 4 MB cap on THIS estimate ~= 15 MB real."""
+    per_kt = (W2_ROWS * 4 + W4_ROWS * 4 + NB_TILE * 4 + 2 * NB_TILE * 2) \
+        * block_n + (K2T + K4T) * block_b * 2
+    return 2 * (km * per_kt + 2 * block_n * 4) + 4 * block_b * block_n * 4
+
+
+def _pick_kt_mult(n_kt: int, n_tiles: int = 8, block_b: int = 8,
+                  block_n: int = 1024) -> int:
     """k-tiles per grid step. Fatter steps (km>1) cut grid overhead, but the
     Mosaic pipeline needs enough remaining grid steps to double-buffer DMA
     against compute — the on-device sweep (tools/probe_tune_r3.py, v5e B=8)
     shows km=4 wins when n_tiles*n_kt/km stays >= 8 (4096->11264: 45.8us vs
     47.2 at km=2) and loses when it starves the pipeline (4096^2 @ bn=2048:
     km=1 17.9us vs km=2 20.9us). Pick the largest divisor of n_kt that keeps
-    >= 8 grid steps."""
+    >= 8 grid steps AND fits the 16 MB scoped-VMEM budget (B=128 at km=4
+    measured 28.7 MB -> compile-time OOM; see _step_vmem_bytes)."""
     for km in (4, 2):
-        if n_kt % km == 0 and n_tiles * (n_kt // km) >= 8:
+        if n_kt % km == 0 and n_tiles * (n_kt // km) >= 8 \
+                and _step_vmem_bytes(km, block_b, block_n) <= 4 * 2**20:
             return km
     return 1
 
@@ -371,7 +386,7 @@ def _mxq_matmul_padded(x2, x4, w2, w4, meta2, qscale, qmin, s4row, z4row,
     nbp, n = meta2.shape
     n_kt = nbp // NB_TILE
     km = (kt_mult if kt_mult is not None
-          else _pick_kt_mult(n_kt, n // block_n))
+          else _pick_kt_mult(n_kt, n // block_n, block_b, block_n))
     grid = (b // block_b, n // block_n, n_kt // km)
 
     kernel = functools.partial(_kernel, out_dtype=out_dtype, n_kt=n_kt,
@@ -781,7 +796,7 @@ def _mxq_matmul_stacked_padded(idx, x2, x4, w2, w4, meta2, qscale, qmin,
                                out_dtype, n_kt, layout="slab"):
     b = x2.shape[1]
     n = meta2.shape[1]
-    km = _pick_kt_mult(n_kt, n // block_n)
+    km = _pick_kt_mult(n_kt, n // block_n, block_b, block_n)
     n_blk = n_kt // km
     grid = (b // block_b, n // block_n, n_blk)
     kernel = functools.partial(_stacked_kernel, out_dtype=out_dtype,
