@@ -476,6 +476,90 @@ class OpenBookQA(MultipleChoiceTask):
         return _hf_docs(load)
 
 
+class COPA(MultipleChoiceTask):
+    """Choice-of-plausible-alternatives: premise minus its period + the
+    cause/effect connector; choices are lowercase-first alternatives
+    (tasks/superglue.py Copa.doc_to_text/convert_choice)."""
+    name = "copa"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        conn = {"cause": "because", "effect": "therefore"}
+        out = []
+        for d in rows:
+            ctx = d["premise"].strip()[:-1] + f" {conn[d['question']]}"
+            ch = [c[0].lower() + c[1:] for c in (d["choice1"], d["choice2"])]
+            out.append(MCDoc(ctx, ch, int(d["label"])))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "super_glue", "copa", split="validation"))
+        return _hf_docs(load)
+
+
+class RTE(MultipleChoiceTask):
+    """Entailment as True/False loglikelihood comparison
+    (tasks/glue.py:327-363: 0 = entailment = "True")."""
+    name = "rte"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc(f"{d['sentence1']}\nQuestion: {d['sentence2']} "
+                      f"True or False?\nAnswer:",
+                      ["True", "False"], int(d["label"])) for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "glue", "rte", split="validation"))
+        return _hf_docs(load)
+
+
+class LambadaOpenAI:
+    """Last-word prediction: context = text minus the final word,
+    continuation = " " + final word; metrics = ppl over the continuation
+    LLs and greedy-exact accuracy (tasks/lambada.py:31-72,91-99)."""
+
+    name = "lambada_openai"
+
+    @staticmethod
+    def convert(rows) -> list[tuple[str, str]]:
+        out = []
+        for d in rows:
+            ctx, last = d["text"].rsplit(" ", 1)
+            out.append((ctx, " " + last))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "EleutherAI/lambada_openai", "en", split="test"))
+        return _hf_docs(load)
+
+    def evaluate(self, lm: "MXQLM", tokenize, limit: Optional[int] = None
+                 ) -> dict:
+        docs = self.docs()
+        if docs is None:
+            raise RuntimeError(
+                f"task {self.name!r} has no documents — dataset unavailable "
+                "(datasets/network missing?)")
+        docs = list(docs)
+        if limit:
+            docs = docs[:limit]
+        reqs = [(tokenize(c), tokenize(t)) for c, t in docs]
+        scores = lm.loglikelihood(reqs)
+        lls = [s for s, _ in scores]
+        acc = sum(int(g) for _, g in scores) / max(len(scores), 1)
+        return {"task": self.name,
+                "ppl": float(np.exp(-np.mean(lls))) if lls else float("inf"),
+                "acc": acc, "n": len(docs)}
+
+
 class WikiTextRolling:
     """Rolling-loglikelihood perplexity over wikitext-2 test — the harness's
     `wikitext` task metrics (word_perplexity/byte_perplexity/bits_per_byte
@@ -513,6 +597,7 @@ class WikiTextRolling:
 
 TASKS = {t.name: t for t in (PIQA(), Winogrande(), HellaSwag(), ArcEasy(),
                              ArcChallenge(), BoolQ(), SIQA(), OpenBookQA(),
+                             COPA(), RTE(), LambadaOpenAI(),
                              WikiTextRolling())}
 
 

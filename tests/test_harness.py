@@ -60,7 +60,8 @@ def test_deterministic_golden():
 def test_registered_tasks_exist():
     assert set(harness.TASKS) == {"piqa", "winogrande", "hellaswag",
                                   "arc_easy", "arc_challenge", "boolq",
-                                  "siqa", "obqa", "wikitext"}
+                                  "siqa", "obqa", "copa", "rte",
+                                  "lambada_openai", "wikitext"}
 
 
 def test_missing_dataset_raises():

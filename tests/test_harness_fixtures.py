@@ -154,3 +154,67 @@ def test_mc_continuation_tokenization_protocol():
     # continuation text is " a" and " b" (strip then prepend one space)
     assert captured[0][1][0] == len(" a")
     assert captured[1][1][0] == len(" b")
+
+
+def test_copa_connector_and_lowercase():
+    rows = [dict(premise="The man turned on the faucet.",
+                 question="effect",
+                 choice1="The toilet filled with water.",
+                 choice2="Water flowed from the spout.", label=1),
+            dict(premise="My body cast a shadow over the grass.",
+                 question="cause",
+                 choice1="The sun was rising.",
+                 choice2="The grass was cut.", label=0)]
+    d0, d1 = harness.COPA.convert(rows)
+    # tasks/superglue.py Copa: drop the period, append the connector,
+    # lowercase the choices' first letter
+    assert d0.context == "The man turned on the faucet therefore"
+    assert d0.choices == ["the toilet filled with water.",
+                          "water flowed from the spout."]
+    assert d0.gold == 1
+    assert d1.context == "My body cast a shadow over the grass because"
+    assert d1.gold == 0
+
+
+def test_rte_true_false():
+    d = _doc(harness.RTE, dict(
+        sentence1="No Weapons of Mass Destruction Found in Iraq Yet.",
+        sentence2="Weapons of Mass Destruction Found in Iraq.",
+        label=1))
+    # tasks/glue.py:349-358: 0 = entailment = "True"
+    assert d.context == ("No Weapons of Mass Destruction Found in Iraq "
+                         "Yet.\nQuestion: Weapons of Mass Destruction "
+                         "Found in Iraq. True or False?\nAnswer:")
+    assert d.choices == ["True", "False"]
+    assert d.gold == 1
+
+
+def test_lambada_last_word_split():
+    (ctx, tgt), = harness.LambadaOpenAI.convert(
+        [dict(text="the little dog laughed to see such a sight")])
+    # tasks/lambada.py:46-56: context = text minus last word; target is
+    # " " + last word
+    assert ctx == "the little dog laughed to see such a"
+    assert tgt == " sight"
+
+
+def test_lambada_eval_metrics():
+    import jax
+    from mxq_tpu.models import llama
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    lm = harness.MXQLM(params, cfg, batch_size=2)
+
+    class T(harness.LambadaOpenAI):
+        def docs(self):
+            return [("some context here", " word"),
+                    ("other text", " thing")]
+
+    def tok(s):
+        import numpy as np
+        return np.asarray([ord(c) % cfg.vocab_size for c in s][:16],
+                          dtype=np.int32)
+
+    res = T().evaluate(lm, tok)
+    assert res["n"] == 2 and res["ppl"] > 1.0 and 0.0 <= res["acc"] <= 1.0
