@@ -106,9 +106,14 @@ def map_linears(params, fn):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--gqa", action="store_true",
+                    help="GQA config (8 query heads sharing 2 KV heads) — "
+                         "the 70B shape class (VERDICT r2 #10)")
     args = ap.parse_args()
 
-    cfg = llama.LlamaConfig.tiny()
+    cfg = (llama.LlamaConfig.tiny(num_attention_heads=8,
+                                  num_key_value_heads=2)
+           if args.gqa else llama.LlamaConfig.tiny())
     corpus = markov_corpus(cfg.vocab_size, 200_000, seed=0)
     train_toks, test_toks = corpus[:180_000], corpus[180_000:]
 
