@@ -203,8 +203,13 @@ def run_spec_pipelined(engine: "eng.Engine", draft_len: int = 4,
     drafting + acceptance run on device (`rounds` verify rounds per
     dispatch) and chunk k+1 is dispatched before chunk k's tokens are
     fetched, so the host RTT and bookkeeping overlap device compute.
-    Outputs match engine.run() greedy exactly. Acceptance statistics
-    accumulate on the engine (see Engine.stats: spec_*)."""
+    Outputs match engine.run() greedy exactly in exact arithmetic (CPU
+    f32 tests); on TPU, the T-token verify batches a different matmul
+    shape than 1-token decode, so default-precision bf16 MXU rounding can
+    flip argmax near-ties — measured 4/384 tokens on random-INIT weights
+    whose logit gaps are ~0, and 0/384 on a workload with real gaps
+    (docs/RESULTS.md r3 A/B). Acceptance statistics accumulate on the
+    engine (see Engine.stats: spec_*)."""
     assert engine.ecfg.greedy, "speculative decoding is greedy-only"
     assert engine._inflight is None, \
         "drain the pipelined decode loop before speculative decoding"

@@ -19,18 +19,19 @@ key = jax.random.PRNGKey(0)
 cfg = llama.LlamaConfig.llama2_7b(num_hidden_layers=8)
 params = packed_params(cfg, key)
 
-N_NEW = 48
-ECFG = dict(num_slots=2, max_len=256, prefill_buckets=(16,), kv_quant=True)
+N_NEW = int(os.environ.get("SPEC_AB_NNEW", 48))
+N_REQ = int(os.environ.get("SPEC_AB_NREQ", 4))
+ECFG = dict(num_slots=2, max_len=512, prefill_buckets=(16,), kv_quant=True)
 
 
 def make_engine():
     return eng.Engine(params, cfg, eng.EngineConfig(**ECFG))
 
 
-def drain(mode, prompts):
+def drain(mode, prompts, n_new=N_NEW):
     from mxq_tpu.serving import spec
     e = make_engine()
-    reqs = [e.submit(p, max_new_tokens=N_NEW) for p in prompts]
+    reqs = [e.submit(p, max_new_tokens=n_new) for p in prompts]
     t0 = time.monotonic()
     if mode == "plain":
         e.run()
@@ -42,22 +43,39 @@ def drain(mode, prompts):
     toks = sum(len(r.generated) for r in reqs)
     s = e.stats()
     acc = s.get("spec_accept_len_mean", 1.0)
-    return toks / dt, acc, [r.generated for r in reqs]
+    nd = s.get("spec_dispatches", 0)
+    return toks / dt, acc, [r.generated for r in reqs], nd
 
 
 rng = np.random.RandomState(0)
 workloads = {
-    "repetitive": [np.array([5, 6, 7, 8] * 3, np.int32) for _ in range(4)],
+    "repetitive": [np.array([5, 6, 7, 8] * 3, np.int32)
+                   for _ in range(N_REQ)],
     "random": [rng.randint(1, cfg.vocab_size, size=12).astype(np.int32)
-               for _ in range(4)],
+               for _ in range(N_REQ)],
 }
 
+# warm every compiled program (prefill buckets, decode chunks, spec chunks)
+# before timing — the first drain otherwise pays ~minutes of Mosaic compiles
+for mode in ("plain", "spec_sync", "spec_pipe"):
+    drain(mode, [workloads["repetitive"][0]], n_new=6)
+    drain(mode, [workloads["random"][0]], n_new=6)
+print("warmup done", flush=True)
+
 for name, prompts in workloads.items():
-    base_tps, _, base_gen = drain("plain", prompts)
+    base_tps, _, base_gen, _ = drain("plain", prompts)
     print(f"[{name}] plain pipelined: {base_tps:7.1f} tok/s", flush=True)
     for mode in ("spec_sync", "spec_pipe"):
-        tps, acc, gen = drain(mode, prompts)
+        tps, acc, gen, nd = drain(mode, prompts)
+        # exact up to bf16 argmax ties: multi-token verify batches a
+        # different matmul shape than 1-token decode, so MXU bf16 rounding
+        # can flip near-ties — pronounced on random-init weights whose
+        # logit gaps are tiny; CPU f32 tests pin mathematical exactness
         exact = all(g[:N_NEW] == b[:N_NEW] for g, b in zip(gen, base_gen))
+        mismatch = sum(ga != gb for g, b in zip(gen, base_gen)
+                       for ga, gb in zip(g[:N_NEW], b[:N_NEW]))
         print(f"[{name}] {mode:10s}: {tps:7.1f} tok/s "
               f"({tps / base_tps:4.2f}x, accept_len {acc:.2f}, "
-              f"exact={exact})", flush=True)
+              f"dispatches={nd}, exact={exact}, "
+              f"tok_mismatch={mismatch}/{N_REQ * N_NEW})",
+              flush=True)
