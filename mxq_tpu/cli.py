@@ -323,7 +323,10 @@ def cmd_serve(args):
     t0 = time.time()
     if args.spec_decode:
         from mxq_tpu.serving import spec
-        done = spec.run_spec(e, draft_len=args.draft_len)
+        if args.spec_sync:
+            done = spec.run_spec(e, draft_len=args.draft_len)
+        else:
+            done = spec.run_spec_pipelined(e, draft_len=args.draft_len)
     else:
         done = e.run()
     dt = time.time() - t0
@@ -461,7 +464,11 @@ def main(argv=None):
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--spec_decode", action="store_true",
-                   help="prompt-lookup speculative decoding (greedy)")
+                   help="prompt-lookup speculative decoding (greedy; "
+                        "pipelined device-side drafting by default)")
+    p.add_argument("--spec_sync", action="store_true",
+                   help="use the synchronous one-verify-per-round-trip "
+                        "loop instead of the pipelined path")
     p.add_argument("--draft_len", type=int, default=4)
     p.add_argument("--paged", action="store_true",
                    help="vLLM-style paged engine instead of the slot engine")
