@@ -38,6 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mxq_tpu import scheme
+from mxq_tpu.packfmt import _cdiv
+from mxq_tpu.ops.mxq_matmul import _round_up
 
 GROUP = 128            # AWQ default group size (gemv_cuda.cu host dispatch)
 KT = 1024              # input columns per k-tile
@@ -45,10 +47,6 @@ W_ROWS = KT // 8       # 128 int32 rows per k-tile
 G_ROWS = KT // GROUP   # 8 groups per k-tile
 N_LANE = 1024
 MAXQ = 15
-
-
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
 
 
 @jax.tree_util.register_dataclass
@@ -185,10 +183,6 @@ def _auto_block_n(n: int) -> int:
         if n % bn == 0:
             return bn
     return N_LANE
-
-
-def _round_up(a: int, b: int) -> int:
-    return -(-a // b) * b
 
 
 def u4_matmul(x: jax.Array, p: PackedU4Linear,

@@ -91,9 +91,14 @@ def make_hybrid_mesh(dcn: int = 1, dp: int = 1, fsdp: int = 1, tp: int = 1,
     n_ici = dp * fsdp * tp
     if devices is None and jax.process_count() > 1:
         from jax.experimental import mesh_utils
-        assert dcn == jax.process_count() or dcn % jax.process_count() == 0, (
-            f"dcn={dcn} must be a multiple of process_count="
-            f"{jax.process_count()}")
+        # the construction below (dcn_mesh_shape=(dcn,1,1)) only produces
+        # "each dcn index = one process's devices" when dcn equals the
+        # process count; other multiples fail deep inside mesh_utils or
+        # silently straddle hosts with ICI-intended collectives
+        assert dcn == jax.process_count(), (
+            f"dcn={dcn} must equal process_count={jax.process_count()} "
+            "in multi-process runs (simulated hosts on one process may "
+            "pick any dcn)")
         arr = mesh_utils.create_hybrid_device_mesh(
             (dp, fsdp, tp), dcn_mesh_shape=(dcn, 1, 1))
         arr = arr.reshape(dcn, dp, fsdp, tp)

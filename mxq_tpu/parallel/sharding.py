@@ -122,7 +122,16 @@ def param_specs(params: dict, packed: bool = False,
         if spec is None:
             spec = P()
         if dcn_role is not None:
-            spec = _wrap_axis(spec, dcn_role)
+            wrapped = _wrap_axis(spec, dcn_role)
+            if wrapped == spec and dcn_role == "tp" \
+                    and spec == _PACKED_ROW:
+                # packed row-parallel linears (o_proj/down_proj) carry their
+                # only sharded dim (N) on fsdp — under cross-host tensor
+                # parallelism they must still spread over hosts, else ~45%
+                # of the packed bytes replicate per host and the 70B
+                # "weights exceed one host" config OOMs
+                wrapped = _wrap_axis(spec, "fsdp")
+            spec = wrapped
         return spec
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

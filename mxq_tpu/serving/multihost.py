@@ -89,8 +89,16 @@ class MultiHostEngine:
     """
 
     def __init__(self, params, cfg: llama.LlamaConfig, mesh: Mesh,
-                 ecfg: EngineConfig = EngineConfig(),
+                 ecfg: EngineConfig = EngineConfig(kv_quant=False),
                  dcn_role: Optional[str] = None):
+        # int8-KV uses a single-chip Pallas attention kernel; sharding its
+        # code/scale cache over the mesh would make GSPMD all-gather the
+        # full cache per device (or fail to partition) — refuse rather
+        # than silently blow up memory at pod scale. bf16 KV shards fine.
+        assert not ecfg.kv_quant, (
+            "MultiHostEngine requires kv_quant=False: the fused int8-KV "
+            "attention kernel is single-chip (shard it via shard_map "
+            "before enabling)")
         self.engine = shard_engine(Engine(params, cfg, ecfg), mesh,
                                    dcn_role)
         self.mesh = mesh

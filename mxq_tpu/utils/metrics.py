@@ -27,7 +27,10 @@ class MetricsWriter:
         self._jsonl = None
         if not logdir:
             return
-        os.makedirs(logdir, exist_ok=True)
+        try:
+            os.makedirs(logdir, exist_ok=True)
+        except Exception:  # noqa: BLE001 — unwritable logdir: no backends
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir=logdir)

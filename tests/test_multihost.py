@@ -54,8 +54,14 @@ def test_param_specs_dcn_role_wraps_axis():
     pspecs = sharding.param_specs(packed, packed=True, dcn_role="tp")
     assert pspecs["layers"]["qkv_proj"].w2 == P(None, None, ("dcn", "tp"))
     assert pspecs["layers"]["gate_up_proj"].w2 == P(None, None, ("dcn", "tp"))
+    # ROW-parallel packed linears carry their sharded dim (N) on fsdp;
+    # under cross-host TP they must still spread over dcn, else ~45% of
+    # the packed bytes replicate per host (code-review r3 finding)
+    assert pspecs["layers"]["o_proj"].w2 == P(None, None, ("dcn", "fsdp"))
+    assert pspecs["layers"]["down_proj"].w2 == P(None, None, ("dcn", "fsdp"))
     pspecs_ici = sharding.param_specs(packed, packed=True)
     assert pspecs_ici["layers"]["qkv_proj"].w2 == P(None, None, "tp")
+    assert pspecs_ici["layers"]["o_proj"].w2 == P(None, None, "fsdp")
 
 
 def test_host_local_slice_partitions_batch():
