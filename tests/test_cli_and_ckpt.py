@@ -31,6 +31,7 @@ def test_cli_eval_ppl(capsys):
     assert np.isfinite(json.loads(out)["ppl"])
 
 
+@pytest.mark.slow
 def test_cli_train_tiny(capsys, tmp_path):
     cli.main(["train", "--preset", "tiny", "--w_bits", "2",
               "--batch_size", "2", "--block_size", "32", "--max_steps", "2",

@@ -1,5 +1,6 @@
 """Model tests: forward shapes, KV-cache decode parity, quant modes, loss."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -120,6 +121,7 @@ class TestLoss:
 
 
 class TestPackedModel:
+    @pytest.mark.slow
     def test_packed_forward_matches_fake_quant(self):
         """Packed serving path ~= packed fake-quant dense path (bf16 tolerance)."""
         from mxq_tpu import packfmt

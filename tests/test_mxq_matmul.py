@@ -117,6 +117,7 @@ def test_prefill_a8_matches_f32_path(b, o, k):
     assert err < 0.03, err
 
 
+@pytest.mark.slow
 def test_prefill_a8_stacked_indexing():
     l, o, k, b = 3, 256, 1024, 64
     ws = jax.random.normal(jax.random.PRNGKey(12), (l, o, k), jnp.float32)
@@ -136,6 +137,7 @@ def test_prefill_a8_stacked_indexing():
         assert d < 5e-3 * np.abs(np.asarray(y_ref)).max(), d
 
 
+@pytest.mark.slow
 def test_int8_weight_scale_bound_is_safe():
     """The metadata-derived per-channel scale bound must cover every
     dequantized weight magnitude (so int8 requant never clips)."""

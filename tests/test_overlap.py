@@ -126,6 +126,7 @@ def test_packed_tp_mlp_matches_reference():
     assert err < 3e-2, err
 
 
+@pytest.mark.slow
 def test_dense_tp_mlp():
     k = inter = 2048
     tp = 2

@@ -196,6 +196,7 @@ class TestOutlierQuant:
         np.testing.assert_allclose(np.asarray(red), g["red"], rtol=1e-4,
                                    atol=1e-4)
 
+    @pytest.mark.slow
     def test_2bit_outlier_path_runs(self):
         key = jax.random.PRNGKey(3)
         w = jax.random.normal(key, (16, 64))

@@ -472,6 +472,7 @@ class TestSampling:
         assert outs[0] == outs[1]           # same seed -> same stream
         assert len(outs[2]) == 8            # different seed still completes
 
+    @pytest.mark.slow
     def test_paged_chunked_prefill_matches_greedy(self):
         """Prompts longer than the paged prefill bucket continue in chunks
         and must reproduce the greedy reference exactly."""

@@ -39,6 +39,7 @@ def test_sharded_specs_cover_all_params():
     assert len(flat_p) == len(flat_s)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_is_finite():
     cfg = llama.LlamaConfig.tiny(w_bits=2)
     mesh = sharding.make_mesh(dp=1, fsdp=2, tp=4)

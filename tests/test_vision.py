@@ -72,6 +72,7 @@ class TestConvNeXt:
         logits = convnext.forward(pruned, imgs, cfg)
         assert np.all(np.isfinite(np.asarray(logits)))
 
+    @pytest.mark.slow
     def test_prune_wanda_differs_from_magnitude(self):
         convnext, cfg, params, imgs = self._setup()
         pw = prune_vision.prune_convnext(params, cfg, imgs, sparsity=0.5)
@@ -156,6 +157,7 @@ class TestSwin:
         assert logits.shape == (2, 10)
         assert np.all(np.isfinite(np.asarray(logits)))
 
+    @pytest.mark.slow
     def test_shifted_windows_change_output(self):
         """SW-MSA must couple neighboring windows: zeroing the shift path
         (making all blocks W-MSA) changes the logits."""
