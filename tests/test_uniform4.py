@@ -66,3 +66,43 @@ def test_leading_dims_and_dtype():
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 1024), jnp.bfloat16)
     y = u4.u4_matmul(x, p)
     assert y.shape == (2, 3, 256) and y.dtype == jnp.bfloat16
+
+
+class TestUniform2:
+    def test_closed_form_bit_pattern(self):
+        """Words 0x00000002 (code 2 in slab 0, zeros elsewhere) with s=1,
+        z=0: only columns j=0 of each tile carry weight 2; ones input =>
+        y = tiles * 64 * 2 exactly."""
+        k, o = 2048, 1024
+        p = u4.PackedU2Linear(
+            w=jnp.full((k // 16, o), 0x2, jnp.int32),
+            s=jnp.ones((k // u4.GROUP, o), jnp.bfloat16),
+            z=jnp.zeros((k // u4.GROUP, o), jnp.bfloat16),
+            in_features=k, out_features=o)
+        wk = u4.unpack_dequant_u2(p)
+        col = np.asarray(wk[:, 0]).reshape(k // 1024, 16, 64)
+        assert (col[:, 0] == 2).all() and (col[:, 1:] == 0).all()
+        y = u4.u2_matmul(jnp.ones((1, k), jnp.float32), p)
+        assert float(y[0, 0]) == (k // 1024) * 64 * 2
+
+    def test_roundtrip_error_bounded(self):
+        o, k = 192, 1100
+        w = jax.random.normal(jax.random.PRNGKey(5), (o, k), jnp.float32)
+        p = u4.quantize_pack_u2(w)
+        wdq = u4.unpack_dequant_u2(p).T[:o, :k]
+        gv = np.asarray(w)
+        err = np.abs(np.asarray(wdq) - gv)
+        smax = (gv.max(1) - gv.min(1)) / 3
+        assert (err <= smax[:, None] * 0.51 + 1e-6).all()
+
+    @pytest.mark.parametrize("b,o,k", [(8, 1100, 2048)])
+    def test_kernel_matches_reference_dequant(self, b, o, k):
+        w = jax.random.normal(jax.random.PRNGKey(6), (o, k), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(7), (b, k), jnp.float32)
+        p = u4.quantize_pack_u2(w)
+        wk = u4.unpack_dequant_u2(p)[:k, :o]
+        y_ref = x.astype(jnp.bfloat16).astype(jnp.float32) @ wk
+        y = u4.u2_matmul(x, p)
+        rel = float(jnp.max(jnp.abs(y - y_ref))) / (
+            float(jnp.max(jnp.abs(y_ref))) + 1e-9)
+        assert rel < 2e-2, rel

@@ -59,9 +59,12 @@ def main():
         wbf = jax.device_put(wdq_ref)
         pb = packed_bytes(p)
         # AWQ-style uniform-4b baseline (the reference's third comparison
-        # column, test_mxq_gemv.py:57-80)
+        # column, test_mxq_gemv.py:57-80) + the uniform-2b kernel
+        # (gemv_cuda.cu:259-345, never exposed by the reference's dispatch)
         pu = u4.quantize_pack_u4(w)
         pub = pu.w.size * 4 + pu.s.size * 2 + pu.z.size * 2
+        pu2 = u4.quantize_pack_u2(w)
+        pu2b = pu2.w.size * 4 + pu2.s.size * 2 + pu2.z.size * 2
 
         def back_to_x(y, k):
             # Map [b, o] output back to an x-shaped carry, CONSUMING every
@@ -80,11 +83,14 @@ def main():
                 mm.mxq_matmul(x, c, CFG, interpret=False), k), x0, const=p)
             t_u4 = time_op(lambda c, x: back_to_x(
                 u4.u4_matmul(x, c), k), x0, const=pu)
+            t_u2 = time_op(lambda c, x: back_to_x(
+                u4.u2_matmul(x, c), k), x0, const=pu2)
             rl = Roofline("mxq_gemm", bytes_accessed=pb + 2 * b * (k + o),
                           flops=2 * b * o * k).report(t_q)
             print(f"  B={b:4d}: bf16 {t_bf*1e6:7.1f}us "
                   f"({o*k*2/t_bf/1e9:6.1f} GB/s) | "
                   f"u4 {t_u4*1e6:7.1f}us ({pub/t_u4/1e9:6.1f} GB/s wt) | "
+                  f"u2 {t_u2*1e6:7.1f}us ({pu2b/t_u2/1e9:6.1f} GB/s wt) | "
                   f"mxq {t_q*1e6:7.1f}us ({pb/t_q/1e9:6.1f} GB/s wt, "
                   f"{rl['pct_of_roofline']:5.1f}% roofline, {rl['bound']}-bound)"
                   f" | speedup {t_bf/t_q:5.2f}x | bits/w {8*pb/(o*k):4.2f}")
