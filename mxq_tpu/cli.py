@@ -68,11 +68,23 @@ def cmd_ptq(args):
           f"(mode={args.mode})")
     mesh = None
     if args.shard:
-        from mxq_tpu.parallel import sharding as shlib
-        dp, fsdp, tp = (int(v) for v in args.shard.split(","))
-        mesh = shlib.make_mesh(dp=dp, fsdp=fsdp, tp=tp)
-        print(f"sharding calibration over mesh (dp={dp}, fsdp={fsdp}, "
-              f"tp={tp})")
+        parts = [int(v) for v in args.shard.split(",")]
+        if len(parts) == 4:
+            # DCN,DP,FSDP,TP: hybrid (multi-host) mesh — activations also
+            # batch-shard over the dcn axis; the quantize math replicates
+            # across hosts (it is layer-local)
+            from mxq_tpu.parallel import multihost
+            dcn, dp, fsdp, tp = parts
+            mesh = multihost.make_hybrid_mesh(dcn=dcn, dp=dp, fsdp=fsdp,
+                                              tp=tp)
+            print(f"sharding calibration over hybrid mesh (dcn={dcn}, "
+                  f"dp={dp}, fsdp={fsdp}, tp={tp})")
+        else:
+            from mxq_tpu.parallel import sharding as shlib
+            dp, fsdp, tp = parts
+            mesh = shlib.make_mesh(dp=dp, fsdp=fsdp, tp=tp)
+            print(f"sharding calibration over mesh (dp={dp}, "
+                  f"fsdp={fsdp}, tp={tp})")
     qparams, packed = calibrate.ptq_quantize(
         params, cfg, ids,
         calibrate.PTQConfig(mode=args.mode, chunk=args.chunk),
@@ -365,10 +377,11 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=None,
                    help="calibration samples per device pass (bounds "
                         "activation residency; default: all at once)")
-    p.add_argument("--shard", default=None, metavar="DP,FSDP,TP",
+    p.add_argument("--shard", default=None, metavar="[DCN,]DP,FSDP,TP",
                    help="shard calibration over a device mesh, e.g. "
                         "'1,2,4' (activations over data axes, layer "
-                        "weights over fsdp/tp — required for 13B/70B)")
+                        "weights over fsdp/tp — required for 13B/70B); "
+                        "four values add a cross-host dcn axis")
     p.add_argument("--layers", type=int, default=None,
                    help="override preset depth (shallow drive of a "
                         "full-width config)")

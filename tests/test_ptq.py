@@ -144,3 +144,22 @@ def test_ptq_sharded_packed_mode():
     assert packed is not None
     logits, _ = llama.forward(qparams, jnp.arange(4)[None], CFG)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ptq_sharded_hybrid_mesh_matches_single_device():
+    """Calibration over a HYBRID (dcn x ici) mesh — the multi-host PTQ
+    topology — reproduces the single-device result."""
+    from mxq_tpu.parallel import multihost
+
+    params = llama.init_params(CFG, jax.random.PRNGKey(6))
+    ids = jnp.asarray(ptq_data.get_calibration_batch(
+        4, 32, vocab_size=CFG.vocab_size))
+    q_ref, _ = calibrate.ptq_quantize(params, CFG, ids)
+    mesh = multihost.make_hybrid_mesh(dcn=2, dp=1, fsdp=2, tp=2)
+    q_sh, _ = calibrate.ptq_quantize(params, CFG, ids,
+                                     calibrate.PTQConfig(chunk=2), mesh=mesh)
+    for name in llama.LAYER_LINEARS:
+        np.testing.assert_allclose(np.asarray(q_sh["layers"][name]),
+                                   np.asarray(q_ref["layers"][name]),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
