@@ -519,6 +519,122 @@ class RTE(MultipleChoiceTask):
         return _hf_docs(load)
 
 
+class SciQ(MultipleChoiceTask):
+    """Support passage + question; the correct answer is appended LAST to
+    the three distractors (tasks/sciq.py _process_doc: gold=3)."""
+    name = "sciq"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        out = []
+        for d in rows:
+            ctx = f"{d['support']}\nQuestion: {d['question']}\nAnswer:" \
+                .strip()
+            out.append(MCDoc(ctx, [d["distractor1"], d["distractor2"],
+                                   d["distractor3"], d["correct_answer"]],
+                             3))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("sciq", split="validation"))
+        return _hf_docs(load)
+
+
+class SWAG(MultipleChoiceTask):
+    """Bare startphrase context, four endings (tasks/swag.py:50-59)."""
+    name = "swag"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc(d["startphrase"],
+                      [d["ending0"], d["ending1"], d["ending2"],
+                       d["ending3"]], int(d["label"])) for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "swag", "regular", split="validation"))
+        return _hf_docs(load)
+
+
+class CB(MultipleChoiceTask):
+    """CommitmentBank 3-way NLI: True/False/Neither
+    (tasks/superglue.py:91-128; 0=entailment=True, 2=neutral=Neither)."""
+    name = "cb"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc(f"{d['premise']}\nQuestion: {d['hypothesis']}. "
+                      f"True, False or Neither?\nAnswer:",
+                      ["True", "False", "Neither"], int(d["label"]))
+                for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "super_glue", "cb", split="validation"))
+        return _hf_docs(load)
+
+
+class WiC(MultipleChoiceTask):
+    """Words-in-context: same-word-same-sense yes/no; the probed word is
+    the start1:end1 slice of sentence1 (tasks/superglue.py
+    WordsInContext.doc_to_text). NOTE the reference scores (yes, no) in
+    that order but gold label 1 = yes; choices here are [no, yes] so
+    gold == label directly."""
+    name = "wic"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        out = []
+        for d in rows:
+            word = d["sentence1"][d["start1"]: d["end1"]]
+            ctx = (f"Sentence 1: {d['sentence1']}\n"
+                   f"Sentence 2: {d['sentence2']}\n"
+                   f"Question: Is the word '{word}' used in the same way "
+                   f"in the two sentences above?\nAnswer:")
+            out.append(MCDoc(ctx, ["no", "yes"], int(d["label"])))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "super_glue", "wic", split="validation"))
+        return _hf_docs(load)
+
+
+class LogiQA(MultipleChoiceTask):
+    """Lettered-choices prompt; continuations are the option TEXTS
+    (tasks/logiqa.py:55-83)."""
+    name = "logiqa"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        letters = ["a", "b", "c", "d"]
+        out = []
+        for d in rows:
+            prompt = "Passage: " + d["context"] + "\n"
+            prompt += "Question: " + d["question"] + "\nChoices:\n"
+            for letter, option in zip(letters, d["options"]):
+                prompt += f"{letter.upper()}. {option}\n"
+            prompt += "Answer:"
+            out.append(MCDoc(prompt, list(d["options"]),
+                             letters.index(d["label"])))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "lucasmccabe/logiqa", split="validation"))
+        return _hf_docs(load)
+
+
 class LambadaOpenAI:
     """Last-word prediction: context = text minus the final word,
     continuation = " " + final word; metrics = ppl over the continuation
@@ -597,7 +713,8 @@ class WikiTextRolling:
 
 TASKS = {t.name: t for t in (PIQA(), Winogrande(), HellaSwag(), ArcEasy(),
                              ArcChallenge(), BoolQ(), SIQA(), OpenBookQA(),
-                             COPA(), RTE(), LambadaOpenAI(),
+                             COPA(), RTE(), SciQ(), SWAG(), CB(), WiC(),
+                             LogiQA(), LambadaOpenAI(),
                              WikiTextRolling())}
 
 

@@ -60,7 +60,8 @@ def test_deterministic_golden():
 def test_registered_tasks_exist():
     assert set(harness.TASKS) == {"piqa", "winogrande", "hellaswag",
                                   "arc_easy", "arc_challenge", "boolq",
-                                  "siqa", "obqa", "copa", "rte",
+                                  "siqa", "obqa", "copa", "rte", "sciq",
+                                  "swag", "cb", "wic", "logiqa",
                                   "lambada_openai", "wikitext"}
 
 

@@ -218,3 +218,76 @@ def test_lambada_eval_metrics():
 
     res = T().evaluate(lm, tok)
     assert res["n"] == 2 and res["ppl"] > 1.0 and 0.0 <= res["acc"] <= 1.0
+
+
+def test_sciq_correct_answer_last():
+    d = _doc(harness.SciQ, dict(
+        support="Compounds are formed when two or more elements chemically "
+                "combine.",
+        question="What is formed when two or more elements chemically "
+                 "combine?",
+        distractor1="mixtures", distractor2="solutions",
+        distractor3="metals", correct_answer="compounds"))
+    # tasks/sciq.py: support + question prompt; the correct answer is
+    # APPENDED after the 3 distractors (gold = 3)
+    assert d.context.startswith("Compounds are formed")
+    assert d.context.endswith("chemically combine?\nAnswer:")
+    assert d.choices[3] == "compounds" and d.gold == 3
+
+
+def test_sciq_empty_support_strips():
+    d = _doc(harness.SciQ, dict(
+        support="", question="Q?", distractor1="a", distractor2="b",
+        distractor3="c", correct_answer="d"))
+    # .strip() removes the leading newline when support is empty
+    assert d.context == "Question: Q?\nAnswer:"
+
+
+def test_swag_startphrase_and_endings():
+    d = _doc(harness.SWAG, dict(
+        startphrase="Members of the procession walk down the street. A "
+                    "drum line",
+        ending0="passes by walking down the street playing their "
+                "instruments.",
+        ending1="has heard approaching them.",
+        ending2="arrives and they're outside dancing and asleep.",
+        ending3="turns the lead singer watches the performance.",
+        label=0))
+    assert d.context.endswith("A drum line")
+    assert len(d.choices) == 4 and d.gold == 0
+
+
+def test_cb_three_way():
+    d = _doc(harness.CB, dict(
+        premise="It was a complex language. Not written down but handed "
+                "down.",
+        hypothesis="the language was written down", label=1))
+    # tasks/superglue.py:113-123: True, False or Neither; 0=True, 2=Neither
+    assert d.context.endswith(". True, False or Neither?\nAnswer:")
+    assert d.choices == ["True", "False", "Neither"]
+    assert d.gold == 1
+
+
+def test_wic_word_slice():
+    d = _doc(harness.WiC, dict(
+        sentence1="Do you want to come over to my place later?",
+        sentence2="A political system with no place for the less "
+                  "prominent groups.",
+        start1=31, end1=36, label=0))
+    # the probed word is the start1:end1 SLICE of sentence1
+    assert "the word 'place'" in d.context
+    assert d.choices == ["no", "yes"] and d.gold == 0
+
+
+def test_logiqa_lettered_prompt():
+    d = _doc(harness.LogiQA, dict(
+        context="Some students study hard.",
+        question="Which is true?",
+        options=["opt one", "opt two", "opt three", "opt four"],
+        label="c"))
+    # tasks/logiqa.py: lettered choices in the prompt, but the scored
+    # continuations are the option TEXTS
+    assert d.context.startswith("Passage: Some students study hard.\n")
+    assert "C. opt three\n" in d.context and d.context.endswith("Answer:")
+    assert d.choices == ["opt one", "opt two", "opt three", "opt four"]
+    assert d.gold == 2
