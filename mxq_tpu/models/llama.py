@@ -321,7 +321,13 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
             if t == 1:
                 # fused decode attention consumes the int8 codes directly —
                 # HBM reads stay int8 and no full-cache dequant materializes
-                # (the round-1 regression, docs/RESULTS.md)
+                # (the round-1 regression, docs/RESULTS.md). The layer VIEW
+                # (slice copy) + 4-D kernel measured FASTER than indexing
+                # the stacked 5-D cache inside the kernel via scalar
+                # prefetch (38.6 vs 59.3 us/layer on device, r3 A/B —
+                # Mosaic's 5-D block DMA overhead exceeds the copy it
+                # avoids), so the view path stays; the stacked variant is
+                # attn_int8.int8_decode_attention_stacked.
                 from mxq_tpu.ops import attn_int8 as _a8
                 positions = jnp.full((b,), cache_pos, jnp.int32)
                 ctx = _a8.int8_decode_attention(

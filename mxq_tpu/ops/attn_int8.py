@@ -36,18 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = float(np.finfo(np.float32).min)
 
 
-def _kernel(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref, *,
-            scale):
-    """One (batch, head-block) step: HB heads attend via batched MXU dots
-    (batch dim = heads), so the grid has B * H/HB fat steps instead of
-    B * H tiny ones."""
-    b = pl.program_id(0)
-    pos = pos_ref[b]
-
-    q = q_ref[0]                                       # [HB, G8, D] bf16
-    kc = kc_ref[0]                                     # [HB, S, D]  int8
-    ks = ks_ref[0]                                     # [HB, 1, S]  bf16
-
+def _attend(q, kc, ks, vc, vs, pos, scale):
+    """Batched-by-head attention math on VALUES:
+    q [HB, G8, D] bf16, kc/vc [HB, S, D] int8, ks/vs [HB, 1, S] bf16."""
     st = jax.lax.dot_general(
         q, kc, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [HB, G8, S]
@@ -60,13 +51,23 @@ def _kernel(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref, *,
     p = jnp.exp(st - m)
     denom = jnp.sum(p, axis=2, keepdims=True)
 
-    vs = vs_ref[0]                                     # [HB, 1, S]
     pv = (p * vs.astype(jnp.float32)).astype(jnp.bfloat16)
-    vc = vc_ref[0]                                     # [HB, S, D] int8
     ctx = jax.lax.dot_general(
         pv, vc, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [HB, G8, D]
-    o_ref[0] = (ctx / denom).astype(o_ref.dtype)
+    return ctx / denom
+
+
+def _kernel(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref, o_ref, *,
+            scale):
+    """One (batch, head-block) step: HB heads attend via batched MXU dots
+    (batch dim = heads), so the grid has B * H/HB fat steps instead of
+    B * H tiny ones."""
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    ctx = _attend(q_ref[0], kc_ref[0], ks_ref[0], vc_ref[0], vs_ref[0],
+                  pos, scale)
+    o_ref[0] = ctx.astype(o_ref.dtype)
 
 
 def _pick_head_block(hkv: int, s: int, d: int) -> int:
@@ -112,6 +113,88 @@ def _attn_call(q, kc, ks, vc, vs, positions, *, interpret):
         interpret=interpret,
     )(positions.astype(jnp.int32), q, kc, ks[:, :, None, :], vc,
       vs[:, :, None, :])
+
+
+def _stacked_kernel(pos_ref, idx_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+                    o_ref, *, scale):
+    del idx_ref   # consumed by the BlockSpec index maps
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    ctx = _attend(q_ref[0], kc_ref[0, 0], ks_ref[0, 0], vc_ref[0, 0],
+                  vs_ref[0, 0], pos, scale)
+    o_ref[0] = ctx.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attn_call_stacked(q, kc, ks, vc, vs, positions, idx, *, interpret):
+    """Like _attn_call but the cache leaves keep their stacked [L, ...]
+    layout and the traced layer index rides scalar prefetch — the kernel
+    DMAs the layer's blocks straight out of the stack, so no [B, H, S, D]
+    layer view ever materializes (device-trace r3: that copy cost ~0.85
+    ms/step of the 7B decode, 2.6x the attention math itself)."""
+    b, hkv, g8, d = q.shape
+    s = kc.shape[3]
+    hb = _pick_head_block(hkv, s, d)
+    grid = (b, hkv // hb)
+    scale = 1.0 / float(np.sqrt(d))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, hb, g8, d), lambda bi, hi, p, i: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hb, s, d),
+                         lambda bi, hi, p, i: (i[0], bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hb, 1, s),
+                         lambda bi, hi, p, i: (i[0], bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hb, s, d),
+                         lambda bi, hi, p, i: (i[0], bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hb, 1, s),
+                         lambda bi, hi, p, i: (i[0], bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hb, g8, d),
+                               lambda bi, hi, p, i: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_stacked_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g8, d), jnp.float32),
+        interpret=interpret,
+    )(positions.astype(jnp.int32),
+      jnp.asarray(idx, jnp.int32).reshape(1),
+      q, kc, ks[:, :, :, None, :], vc, vs[:, :, :, None, :])
+
+
+def int8_decode_attention_stacked(q, k_codes, k_scale, v_codes, v_scale,
+                                  layer_idx, positions,
+                                  interpret: bool | None = None
+                                  ) -> jax.Array:
+    """One-token attention over ONE layer of the stacked quantized cache.
+
+    q:         [B, H_q, D]
+    k/v_codes: [L, B, H_kv, S, D] int8 (the full stack, NOT a layer view)
+    k/v_scale: [L, B, H_kv, S]    bf16
+    layer_idx: traced scalar — which layer to attend
+    positions: [B] int32
+    Returns [B, H_q, D] f32.
+    """
+    if interpret is None:
+        interpret = _on_cpu()
+    b, hq, d = q.shape
+    hkv = k_codes.shape[2]
+    g = hq // hkv
+    g8 = max(8, g)
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    if g8 != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
+    out = _attn_call_stacked(qg, k_codes, k_scale, v_codes, v_scale,
+                             positions, layer_idx, interpret=interpret)
+    return out[:, :, :g, :].reshape(b, hq, d)
 
 
 def _on_cpu() -> bool:

@@ -574,3 +574,29 @@ class TestLongPrompt:
             e.run()
             outs.append(list(req.generated[:n_new]))
         assert outs[0] == outs[1], outs
+
+
+class TestStackedInt8Attention:
+    def test_stacked_matches_unstacked(self):
+        """The scalar-prefetch stacked variant must equal the per-layer
+        kernel on every layer of the stack."""
+        from mxq_tpu.ops import attn_int8
+        l, b, hq, hkv, s, d = 3, 2, 8, 4, 32, 64
+        keys = jax.random.split(jax.random.PRNGKey(7), 5)
+        q = jax.random.normal(keys[0], (b, hq, d), jnp.float32)
+        kc = jax.random.randint(keys[1], (l, b, hkv, s, d), -127, 128,
+                                jnp.int8)
+        vc = jax.random.randint(keys[2], (l, b, hkv, s, d), -127, 128,
+                                jnp.int8)
+        ks = (jax.random.uniform(keys[3], (l, b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        vs = (jax.random.uniform(keys[4], (l, b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        positions = jnp.array([5, 31], jnp.int32)
+        for li in range(l):
+            got = attn_int8.int8_decode_attention_stacked(
+                q, kc, ks, vc, vs, jnp.int32(li), positions)
+            want = attn_int8.int8_decode_attention(
+                q, kc[li], ks[li], vc[li], vs[li], positions)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(li))
