@@ -417,6 +417,11 @@ class Engine:
                 # this in rounds 1-2). Sync EACH prefill call on CPU: the
                 # chunk->chunk and prefill->decode donation chains are both
                 # the racy pattern. Keep the overlap on TPU where it pays.
+                # A distilled repro attempt lives in
+                # tools/repro_cpu_donation_race.py — it does NOT fail in
+                # isolation (500x4 trials), so the trigger needs something
+                # only the full engine adds; run/extend it before touching
+                # this workaround.
                 if jax.default_backend() == "cpu":
                     first.block_until_ready()
             # DEFERRED first-token fetch: the prefill result stays on device
