@@ -711,11 +711,495 @@ class WikiTextRolling:
                 "n": len(texts)}
 
 
+def general_detokenize(s: str) -> str:
+    """Undo PTB-style tokenization spacing (lm-eval utils.py:62-69 semantics,
+    re-derived): used by the GLUE sentence tasks below."""
+    import re as _re
+    s = s.replace(" n't", "n't").replace(" )", ")").replace("( ", "(")
+    s = s.replace('" ', '"').replace(' "', '"')
+    return _re.sub(r" (['.,])", r"\1", s)
+
+
+MMLU_SUBJECTS = [
+    "abstract_algebra", "anatomy", "astronomy", "business_ethics",
+    "clinical_knowledge", "college_biology", "college_chemistry",
+    "college_computer_science", "college_mathematics", "college_medicine",
+    "college_physics", "computer_security", "conceptual_physics",
+    "econometrics", "electrical_engineering", "elementary_mathematics",
+    "formal_logic", "global_facts", "high_school_biology",
+    "high_school_chemistry", "high_school_computer_science",
+    "high_school_european_history", "high_school_geography",
+    "high_school_government_and_politics", "high_school_macroeconomics",
+    "high_school_mathematics", "high_school_microeconomics",
+    "high_school_physics", "high_school_psychology",
+    "high_school_statistics", "high_school_us_history",
+    "high_school_world_history", "human_aging", "human_sexuality",
+    "international_law", "jurisprudence", "logical_fallacies",
+    "machine_learning", "management", "marketing", "medical_genetics",
+    "miscellaneous", "moral_disputes", "moral_scenarios", "nutrition",
+    "philosophy", "prehistory", "professional_accounting",
+    "professional_law", "professional_medicine", "professional_psychology",
+    "public_relations", "security_studies", "sociology",
+    "us_foreign_policy", "virology", "world_religions",
+]
+
+
+class MMLU(MultipleChoiceTask):
+    """Hendrycks MMLU, one task per subject (tasks/hendrycks_test.py:129-154:
+    "Question: ...\\nChoices:\\nA. ...\\nAnswer:"; continuations are the
+    choice TEXTS, not the letters)."""
+
+    def __init__(self, subject: str):
+        self.subject = subject
+        self.name = f"hendrycksTest-{subject}"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        keys = ["A", "B", "C", "D"]
+        out = []
+        for d in rows:
+            prompt = "Question: " + d["question"] + "\nChoices:\n"
+            prompt += "".join(f"{k}. {c}\n" for k, c in zip(keys,
+                                                            d["choices"]))
+            prompt += "Answer:"
+            gold = (keys.index(d["answer"]) if isinstance(d["answer"], str)
+                    else int(d["answer"]))
+            out.append(MCDoc(prompt, list(d["choices"]), gold))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "cais/mmlu", self.subject, split="test"))
+        return _hf_docs(load)
+
+
+class RACE(MultipleChoiceTask):
+    """RACE-high reading comprehension, collated ONE DOC PER ARTICLE with
+    earlier questions answered inline (tasks/race.py:60-127 — the GPT-3
+    paper's construction, not HF's per-question rows)."""
+    name = "race"
+    letter_to_num = {"A": 0, "B": 1, "C": 2, "D": 3}
+
+    @classmethod
+    def convert(cls, rows) -> list[MCDoc]:
+        import collections
+        by_article = collections.defaultdict(list)
+        for r in rows:
+            by_article[r["article"]].append(r)
+        out = []
+        for article, problems in by_article.items():
+            text = "Article: " + article + "\n\n"
+            for p in problems[:-1]:
+                answer = p["options"][cls.letter_to_num[p["answer"]]]
+                if p["question"][-6:] == "  _  .":
+                    # cloze-style: splice the answer into the blank
+                    # (race.py:107-110 uses question[-5:] verbatim)
+                    text += p["question"][-5:] + answer + "\n"
+                else:
+                    text += ("Question: " + p["question"] + "\n"
+                             + "Answer: " + answer + "\n")
+            last = problems[-1]
+            text += last["question"]
+            out.append(MCDoc(text, list(last["options"]),
+                             cls.letter_to_num[last["answer"]]))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("race", "high", split="test"))
+        return _hf_docs(load)
+
+
+class MathQA(MultipleChoiceTask):
+    """Options parsed out of the "a ) ... , b ) ..." string
+    (tasks/mathqa.py:52-64)."""
+    name = "mathqa"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        import re as _re
+        out = []
+        for d in rows:
+            gold = ["a", "b", "c", "d", "e"].index(d["correct"])
+            choices = [c[4:].rstrip(" ,") for c in _re.findall(
+                r"[abcd] \) .*?, |e \) .*?$", d["options"])]
+            out.append(MCDoc("Question: " + d["Problem"] + "\nAnswer:",
+                             choices, gold))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("math_qa", split="test"))
+        return _hf_docs(load)
+
+
+class PubMedQA(MultipleChoiceTask):
+    """Abstract + question -> yes/no/maybe (tasks/pubmedqa.py:53-66)."""
+    name = "pubmedqa"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        out = []
+        for d in rows:
+            ctxs = "\n".join(d["context"]["contexts"])
+            prompt = "Abstract: {}\nQuestion: {}\nAnswer:".format(
+                ctxs, d["question"])
+            gold = ["yes", "no", "maybe"].index(d["final_decision"])
+            out.append(MCDoc(prompt, ["yes", "no", "maybe"], gold))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            # HF labels the eval rows "train" (pubmedqa.py:49-51)
+            return self.convert(load_dataset(
+                "pubmed_qa", "pqa_labeled", split="train"))
+        return _hf_docs(load)
+
+
+class ANLI(MultipleChoiceTask):
+    """Adversarial NLI round r (tasks/anli.py:62-84: label order
+    True/Neither/False)."""
+
+    def __init__(self, round_: int):
+        self.round = round_
+        self.name = f"anli_r{round_}"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc(d["premise"] + "\nQuestion: " + d["hypothesis"]
+                      + " True, False, or Neither?\nAnswer:",
+                      ["True", "Neither", "False"], int(d["label"]))
+                for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "anli", split=f"test_r{self.round}"))
+        return _hf_docs(load)
+
+
+class MNLI(MultipleChoiceTask):
+    """GLUE MNLI matched (tasks/glue.py:180-192); hypothesis gets a
+    trailing period if missing."""
+    name = "mnli"
+    split = "validation_matched"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        out = []
+        for d in rows:
+            hyp = d["hypothesis"].strip()
+            hyp += "" if hyp.endswith(".") else "."
+            out.append(MCDoc("{}\nQuestion: {} True, False or Neither?"
+                             "\nAnswer:".format(d["premise"], hyp),
+                             ["True", "Neither", "False"], int(d["label"])))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("glue", "mnli",
+                                             split=self.split))
+        return _hf_docs(load)
+
+
+class MNLIMismatched(MNLI):
+    name = "mnli_mismatched"
+    split = "validation_mismatched"
+
+
+class QNLI(MultipleChoiceTask):
+    """tasks/glue.py:245-258: 0 = entailment = "yes"."""
+    name = "qnli"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc("{}\n{}\nQuestion: Does this response answer the "
+                      "question?\nAnswer:".format(d["question"],
+                                                  d["sentence"]),
+                      ["yes", "no"], int(d["label"])) for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("glue", "qnli",
+                                             split="validation"))
+        return _hf_docs(load)
+
+
+class QQP(MultipleChoiceTask):
+    """tasks/glue.py:455-467: label 1 = duplicate = "yes"."""
+    name = "qqp"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc("Question 1: {}\nQuestion 2: {}\nQuestion: Do both "
+                      "questions ask the same thing?\nAnswer:".format(
+                          d["question1"], d["question2"]),
+                      ["no", "yes"], int(d["label"])) for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("glue", "qqp",
+                                             split="validation"))
+        return _hf_docs(load)
+
+
+class MRPC(MultipleChoiceTask):
+    """tasks/glue.py:403-415 (detokenized sentences)."""
+    name = "mrpc"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc("Sentence 1: {}\nSentence 2: {}\nQuestion: Do both "
+                      "sentences mean the same thing?\nAnswer:".format(
+                          general_detokenize(d["sentence1"]),
+                          general_detokenize(d["sentence2"])),
+                      ["no", "yes"], int(d["label"])) for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("glue", "mrpc",
+                                             split="validation"))
+        return _hf_docs(load)
+
+
+class SST(MultipleChoiceTask):
+    """tasks/glue.py:124-139: positive/negative over the detokenized
+    sentence."""
+    name = "sst"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc("{}\nQuestion: Is this sentence positive or negative?"
+                      "\nAnswer:".format(general_detokenize(d["sentence"])),
+                      ["negative", "positive"], int(d["label"]))
+                for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("glue", "sst2",
+                                             split="validation"))
+        return _hf_docs(load)
+
+
+class WNLI(MultipleChoiceTask):
+    """tasks/glue.py:298-311: 1 = entailment = "True"."""
+    name = "wnli"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc("{}\nQuestion: {} True or False?\nAnswer:".format(
+            d["sentence1"], d["sentence2"]),
+            ["False", "True"], int(d["label"])) for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("glue", "wnli",
+                                             split="validation"))
+        return _hf_docs(load)
+
+
+class CoLA(MultipleChoiceTask):
+    """tasks/glue.py:70-93: yes/no over grammaticality, scored with
+    Matthews correlation instead of accuracy."""
+    name = "cola"
+
+    @staticmethod
+    def convert(rows) -> list[MCDoc]:
+        return [MCDoc("{}\nQuestion: Does this sentence make sense?"
+                      "\nAnswer:".format(d["sentence"]),
+                      ["no", "yes"], int(d["label"])) for d in rows]
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("glue", "cola",
+                                             split="validation"))
+        return _hf_docs(load)
+
+    def evaluate(self, lm: MXQLM, tokenize, limit: Optional[int] = None
+                 ) -> dict:
+        res = super().evaluate(lm, tokenize, limit)
+        # recompute predictions for MCC (needs the confusion matrix, which
+        # plain accuracy discards)
+        docs = list(self.docs())
+        if limit:
+            docs = docs[:limit]
+        reqs = [(tokenize(d.context), tokenize(" " + ch.strip()))
+                for d in docs for ch in d.choices]
+        scores = lm.loglikelihood(reqs)
+        tp = tn = fp = fn = 0
+        for i, d in enumerate(docs):
+            lls = [scores[2 * i + j][0] for j in range(2)]
+            pred = int(np.argmax(lls))
+            if pred and d.gold:
+                tp += 1
+            elif pred and not d.gold:
+                fp += 1
+            elif not pred and d.gold:
+                fn += 1
+            else:
+                tn += 1
+        denom = np.sqrt(float((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
+        res["mcc"] = float((tp * tn - fp * fn) / denom) if denom else 0.0
+        return res
+
+
+class WSC273:
+    """Winograd Schema Challenge: the CONTEXT varies per choice (pronoun
+    replaced by each option) and the TARGET (everything after the pronoun)
+    is fixed — the reverse of the MC tasks (tasks/wsc273.py:69-142)."""
+
+    name = "wsc273"
+    upper_pronouns = ["A", "An", "The", "She", "He", "It", "They", "My",
+                      "His", "Her", "Their"]
+
+    @classmethod
+    def convert(cls, rows) -> list[tuple[list[str], str, int]]:
+        """-> [(contexts per option, fixed target, gold index)]"""
+        out = []
+        for d in rows:
+            d = dict(d)
+            d["text"] = d["text"].replace("  ", " ")
+            opts = [cls._normalize(d, o) for o in d["options"]]
+            ctxs = [d["text"][: d["pronoun_loc"]] + o for o in opts]
+            start = d["pronoun_loc"] + len(d["pronoun"])
+            target = " " + d["text"][start:].strip()
+            out.append((ctxs, target, int(d["label"])))
+        return out
+
+    @classmethod
+    def _normalize(cls, doc, option):
+        if doc["pronoun"].lower() in ["my", "his", "her", "our", "their"]:
+            option += "'s"
+        pronoun = option.split()[0]
+        start_of_sentence = doc["text"][doc["pronoun_loc"] - 2] == "."
+        if not start_of_sentence and pronoun in cls.upper_pronouns:
+            return option.replace(pronoun, pronoun.lower())
+        return option
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset("winograd_wsc", "wsc273",
+                                             split="test"))
+        return _hf_docs(load)
+
+    def evaluate(self, lm: MXQLM, tokenize, limit: Optional[int] = None
+                 ) -> dict:
+        docs = self.docs()
+        if docs is None:
+            raise RuntimeError(
+                f"task {self.name!r} has no documents — dataset unavailable "
+                "(datasets/network missing?)")
+        docs = list(docs)
+        if limit:
+            docs = docs[:limit]
+        reqs, spans = [], []
+        for ctxs, target, gold in docs:
+            start = len(reqs)
+            for c in ctxs:
+                reqs.append((tokenize(c), tokenize(target)))
+            spans.append((start, len(reqs), gold))
+        scores = lm.loglikelihood(reqs)
+        acc = sum(
+            int(np.argmax([scores[k][0] for k in range(s, e)]) == gold)
+            for s, e, gold in spans)
+        n = max(len(spans), 1)
+        return {"task": self.name, "acc": acc / n, "n": n}
+
+
+class TruthfulQAMC:
+    """TruthfulQA multiple-choice with the fixed zero-shot QA_PROMPT and the
+    mc1/mc2 metrics (tasks/truthfulqa.py:51-159)."""
+
+    name = "truthfulqa_mc"
+    QA_PROMPT = (
+        "Q: What is human life expectancy in the United States?\n"
+        "A: Human life expectancy in the United States is 78 years.\n\n"
+        "Q: Who was president of the United States in 1955?\n"
+        "A: Dwight D. Eisenhower was president of the United States in "
+        "1955.\n\n"
+        "Q: Which party did he belong to?\n"
+        "A: He belonged to the Republican Party.\n\n"
+        "Q: What is the square root of banana?\n"
+        "A: I have no comment.\n\n"
+        "Q: How does a telescope work?\n"
+        "A: Telescopes use lenses or mirrors to focus light and make "
+        "objects appear closer.\n\n"
+        "Q: Where were the 1992 Olympics held?\n"
+        "A: The 1992 Olympics were held in Barcelona, Spain."
+    )
+
+    @classmethod
+    def convert(cls, rows):
+        """-> [(context, mc1_choices, mc2_choices, mc2_split)] — mc1 gold is
+        always index 0; mc2 labels are 1s then 0s, split at mc2_split."""
+        out = []
+        for d in rows:
+            ctx = cls.QA_PROMPT + "\n\nQ: " + d["question"] + "\nA:"
+            mc2_split = list(d["mc2_targets"]["labels"]).index(0)
+            out.append((ctx, list(d["mc1_targets"]["choices"]),
+                        list(d["mc2_targets"]["choices"]), mc2_split))
+        return out
+
+    def docs(self):
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "truthful_qa", "multiple_choice", split="validation"))
+        return _hf_docs(load)
+
+    def evaluate(self, lm: MXQLM, tokenize, limit: Optional[int] = None
+                 ) -> dict:
+        docs = self.docs()
+        if docs is None:
+            raise RuntimeError(
+                f"task {self.name!r} has no documents — dataset unavailable "
+                "(datasets/network missing?)")
+        docs = list(docs)
+        if limit:
+            docs = docs[:limit]
+        reqs, spans = [], []
+        for ctx, mc1, mc2, split in docs:
+            start = len(reqs)
+            for ch in mc1 + mc2:
+                reqs.append((tokenize(ctx), tokenize(" " + ch.strip())))
+            spans.append((start, len(mc1), len(mc2), split))
+        scores = lm.loglikelihood(reqs)
+        m1 = m2 = 0.0
+        for start, n1, n2, split in spans:
+            lls1 = [scores[start + k][0] for k in range(n1)]
+            m1 += float(np.argmax(lls1) == 0)
+            lls2 = np.array([scores[start + n1 + k][0] for k in range(n2)])
+            p = np.exp(lls2)
+            m2 += float(p[:split].sum() / p.sum())
+        n = max(len(spans), 1)
+        return {"task": self.name, "mc1": m1 / n, "mc2": m2 / n, "n": n}
+
+
 TASKS = {t.name: t for t in (PIQA(), Winogrande(), HellaSwag(), ArcEasy(),
                              ArcChallenge(), BoolQ(), SIQA(), OpenBookQA(),
                              COPA(), RTE(), SciQ(), SWAG(), CB(), WiC(),
                              LogiQA(), LambadaOpenAI(),
-                             WikiTextRolling())}
+                             WikiTextRolling(),
+                             RACE(), MathQA(), PubMedQA(),
+                             MNLI(), MNLIMismatched(), QNLI(), QQP(),
+                             MRPC(), SST(), WNLI(), CoLA(),
+                             WSC273(), TruthfulQAMC(),
+                             *(ANLI(r) for r in (1, 2, 3)),
+                             *(MMLU(s) for s in MMLU_SUBJECTS))}
 
 
 def evaluate(lm: MXQLM, tokenize, task_names: Sequence[str],

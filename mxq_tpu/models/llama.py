@@ -306,6 +306,38 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
             from mxq_tpu.serving import kvcache as _kvc
             kc, ksc = _kvc.quantize_kv_headmajor(k)     # [B,H,T,D], [B,H,T]
             vc, vsc = _kvc.quantize_kv_headmajor(v)
+            if t == 1:
+                # fused decode attention consumes the int8 codes directly —
+                # HBM reads stay int8 and no full-cache dequant materializes
+                # (the round-1 regression, docs/RESULTS.md). The layer VIEW
+                # (slice copy) + 4-D kernel measured FASTER than indexing
+                # the stacked 5-D cache inside the kernel via scalar
+                # prefetch (38.6 vs 59.3 us/layer on device, r3 A/B —
+                # Mosaic's 5-D block DMA overhead exceeds the copy it
+                # avoids), so the view path stays; the stacked variant is
+                # attn_int8.int8_decode_attention_stacked.
+                #
+                # DEFERRED WRITE: the current token's quantized K/V go to
+                # the kernel out-of-cache (strict < pos mask + separate
+                # softmax terms — same math as write-then-attend) and ride
+                # out of the scan as per-layer "pending" rows; forward()
+                # commits all layers in ONE stacked update after the scan.
+                # The per-layer dynamic_update_slice chain this removes
+                # cost ~1.05 ms of the 8.9 ms 7B decode step (r3 trace).
+                from mxq_tpu.ops import attn_int8 as _a8
+                layer_view = {kk: jax.lax.dynamic_index_in_dim(
+                    cache[kk], idx, 0, keepdims=False)
+                    for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
+                positions = jnp.full((b,), cache_pos, jnp.int32)
+                ctx = _a8.int8_decode_attention_cur(
+                    q[:, 0], layer_view["k_codes"], layer_view["k_scale"],
+                    layer_view["v_codes"], layer_view["v_scale"],
+                    kc, ksc, vc, vsc, positions)
+                ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
+                new_cache = dict(cache)
+                new_cache["pending"] = (kc, ksc, vc, vsc)
+                return (quant_linear(ctx, layer["o_proj"], cfg, train),
+                        new_cache)
             updc = lambda buf, val: jax.lax.dynamic_update_slice(
                 buf, val[None].astype(buf.dtype), (idx, 0, 0, cache_pos, 0))
             upds = lambda buf, val: jax.lax.dynamic_update_slice(
@@ -318,24 +350,6 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
             layer_view = {kk: jax.lax.dynamic_index_in_dim(
                 new_cache[kk], idx, 0, keepdims=False)
                 for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
-            if t == 1:
-                # fused decode attention consumes the int8 codes directly —
-                # HBM reads stay int8 and no full-cache dequant materializes
-                # (the round-1 regression, docs/RESULTS.md). The layer VIEW
-                # (slice copy) + 4-D kernel measured FASTER than indexing
-                # the stacked 5-D cache inside the kernel via scalar
-                # prefetch (38.6 vs 59.3 us/layer on device, r3 A/B —
-                # Mosaic's 5-D block DMA overhead exceeds the copy it
-                # avoids), so the view path stays; the stacked variant is
-                # attn_int8.int8_decode_attention_stacked.
-                from mxq_tpu.ops import attn_int8 as _a8
-                positions = jnp.full((b,), cache_pos, jnp.int32)
-                ctx = _a8.int8_decode_attention(
-                    q[:, 0], layer_view["k_codes"], layer_view["k_scale"],
-                    layer_view["v_codes"], layer_view["v_scale"], positions)
-                ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
-                return (quant_linear(ctx, layer["o_proj"], cfg, train),
-                        new_cache)
             if prefill_flash:
                 # attend the kv_bits-roundtripped fresh keys (same values
                 # decode will read back from the int8 cache)
@@ -502,18 +516,35 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
         new_caches = None
     else:
         # stacked caches ride the CARRY; each layer writes only its one-token
-        # slice in place (see the stacked-cache branch in attention()).
+        # slice in place (see the stacked-cache branch in attention()). The
+        # int8 t==1 decode path instead emits its quantized row as a
+        # "pending" scan OUTPUT and the carry passes through untouched —
+        # all layers commit below in ONE stacked update (removes the
+        # per-layer dynamic_update_slice/copy chain, ~1.05 ms/step on 7B).
         def body_cached(carry, inputs):
             xc, cstate = carry
             idx, dense_sl = inputs
             xc, new_cache = fn(xc, idx, dense_sl,
                                {**cstate, "layer_idx": idx})
+            pending = new_cache.pop("pending", None)
             cstate = {k2: v2 for k2, v2 in new_cache.items()
                       if k2 != "layer_idx"}
-            return (xc, cstate), None
+            return (xc, cstate), pending
 
-        (x, new_caches), _ = jax.lax.scan(body_cached, (x, caches),
-                                          (idxs, dense_stacks))
+        (x, new_caches), pend = jax.lax.scan(body_cached, (x, caches),
+                                             (idxs, dense_stacks))
+        if pend is not None:
+            # pend: (kc [L,B,H,1,D], ks [L,B,H,1], vc, vs) — one-token rows
+            kc, ks, vc, vs = pend
+            pos = cache_pos
+            updc = lambda buf, val: jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (0, 0, 0, pos, 0))
+            upds = lambda buf, val: jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (0, 0, 0, pos))
+            new_caches = {"k_codes": updc(new_caches["k_codes"], kc),
+                          "k_scale": upds(new_caches["k_scale"], ks),
+                          "v_codes": updc(new_caches["v_codes"], vc),
+                          "v_scale": upds(new_caches["v_scale"], vs)}
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

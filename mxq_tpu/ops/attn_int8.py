@@ -36,18 +36,34 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = float(np.finfo(np.float32).min)
 
 
-def _attend(q, kc, ks, vc, vs, pos, scale):
+def _attend(q, kc, ks, vc, vs, pos, scale, cur=None):
     """Batched-by-head attention math on VALUES:
-    q [HB, G8, D] bf16, kc/vc [HB, S, D] int8, ks/vs [HB, 1, S] bf16."""
+    q [HB, G8, D] bf16, kc/vc [HB, S, D] int8, ks/vs [HB, 1, S] bf16.
+
+    ``cur``: optional (kcur [HB, 1, D] int8, kscur [HB, 1, 1] bf16, vcur,
+    vscur) — the CURRENT token's quantized K/V handled out-of-cache. With
+    cur, cache rows are masked STRICTLY below ``pos`` and the current
+    token's logit/value enter the softmax separately, so the caller can
+    defer the cache write to after the layer scan (the per-layer
+    dynamic_update_slice chain cost ~1.05 ms of the 8.9 ms 7B decode step,
+    docs/RESULTS.md r3 trace)."""
     st = jax.lax.dot_general(
         q, kc, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [HB, G8, S]
     st = st * (ks.astype(jnp.float32) * scale)
 
     kpos = jax.lax.broadcasted_iota(jnp.int32, st.shape, 2)
-    st = jnp.where(kpos <= pos, st, NEG)
-
-    m = jnp.max(st, axis=2, keepdims=True)
+    if cur is None:
+        st = jnp.where(kpos <= pos, st, NEG)
+        m = jnp.max(st, axis=2, keepdims=True)
+    else:
+        kcur, kscur, vcur, vscur = cur
+        st = jnp.where(kpos < pos, st, NEG)
+        stc = jax.lax.dot_general(
+            q, kcur, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [HB, G8, 1]
+        stc = stc * (kscur.astype(jnp.float32) * scale)
+        m = jnp.maximum(jnp.max(st, axis=2, keepdims=True), stc)
     p = jnp.exp(st - m)
     denom = jnp.sum(p, axis=2, keepdims=True)
 
@@ -55,6 +71,15 @@ def _attend(q, kc, ks, vc, vs, pos, scale):
     ctx = jax.lax.dot_general(
         pv, vc, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [HB, G8, D]
+    if cur is not None:
+        pc = jnp.exp(stc - m)                          # [HB, G8, 1]
+        denom = denom + pc
+        # round (p * v_scale) to bf16 exactly as the in-cache rows do in
+        # ``pv`` above, so deferred-write results are bit-compatible with
+        # write-then-attend (int8 codes are exact in bf16)
+        pcb = (pc * vscur.astype(jnp.float32)).astype(jnp.bfloat16)
+        ctx = ctx + (pcb.astype(jnp.float32)
+                     * vcur.astype(jnp.float32))       # bcast [HB, G8, D]
     return ctx / denom
 
 
@@ -113,6 +138,84 @@ def _attn_call(q, kc, ks, vc, vs, positions, *, interpret):
         interpret=interpret,
     )(positions.astype(jnp.int32), q, kc, ks[:, :, None, :], vc,
       vs[:, :, None, :])
+
+
+def _kernel_cur(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+                kcur_ref, kscur_ref, vcur_ref, vscur_ref, o_ref, *, scale):
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    cur = (kcur_ref[0], kscur_ref[0], vcur_ref[0], vscur_ref[0])
+    ctx = _attend(q_ref[0], kc_ref[0], ks_ref[0], vc_ref[0], vs_ref[0],
+                  pos, scale, cur=cur)
+    o_ref[0] = ctx.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attn_call_cur(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur, positions,
+                   *, interpret):
+    b, hkv, g8, d = q.shape
+    s = kc.shape[2]
+    hb = _pick_head_block(hkv, s, d)
+    grid = (b, hkv // hb)
+    scale = 1.0 / float(np.sqrt(d))
+    hspec = lambda shp: pl.BlockSpec(  # noqa: E731 — per-(batch, head) block
+        (1, hb) + shp, lambda bi, hi, p: (bi, hi) + (0,) * len(shp),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            hspec((g8, d)),                 # q
+            hspec((s, d)),                  # k codes
+            hspec((1, s)),                  # k scale
+            hspec((s, d)),                  # v codes
+            hspec((1, s)),                  # v scale
+            hspec((1, d)),                  # current k codes
+            hspec((1, 1)),                  # current k scale
+            hspec((1, d)),                  # current v codes
+            hspec((1, 1)),                  # current v scale
+        ],
+        out_specs=hspec((g8, d)),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_cur, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g8, d), jnp.float32),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), q, kc, ks[:, :, None, :], vc,
+      vs[:, :, None, :], kcur, kscur[:, :, :, None], vcur,
+      vscur[:, :, :, None])
+
+
+def int8_decode_attention_cur(q, k_codes, k_scale, v_codes, v_scale,
+                              kcur, kscur, vcur, vscur, positions,
+                              interpret: bool | None = None) -> jax.Array:
+    """One-token attention with the CURRENT token's quantized K/V passed
+    out-of-cache (deferred-write decode).
+
+    q:          [B, H_q, D]
+    k/v_codes:  [B, H_kv, S, D] int8 — history only; rows >= positions[b]
+                are ignored (strict mask)
+    k/v_scale:  [B, H_kv, S] bf16
+    kcur/vcur:  [B, H_kv, 1, D] int8 — this step's quantized K/V
+    kscur/vscur:[B, H_kv, 1] bf16
+    positions:  [B] int32 — the current token's position
+    Returns [B, H_q, D] f32 — identical math to writing the current row at
+    ``positions`` and attending with the mask at <= positions.
+    """
+    if interpret is None:
+        interpret = _on_cpu()
+    b, hq, d = q.shape
+    hkv = k_codes.shape[1]
+    g = hq // hkv
+    g8 = max(8, g)
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    if g8 != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
+    out = _attn_call_cur(qg, k_codes, k_scale, v_codes, v_scale,
+                         kcur, kscur, vcur, vscur, positions,
+                         interpret=interpret)
+    return out[:, :, :g, :].reshape(b, hq, d)
 
 
 def _stacked_kernel(pos_ref, idx_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,

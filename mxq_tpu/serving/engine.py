@@ -649,6 +649,27 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
             vc, vs = kvcache.quantize_kv_headmajor(v)
             rows = jnp.arange(b_)[:, None]
 
+            if t == 1:
+                # DEFERRED WRITE (decode): the current row goes to the
+                # kernel out-of-cache and rides out of the scan as a
+                # pending output; one stacked scatter commits all layers
+                # after the scan (the per-layer update chain cost ~1.05 ms
+                # of the 8.9 ms 7B step — docs/RESULTS.md r3 trace).
+                from mxq_tpu.ops import attn_int8 as _a8
+                layer_view = {kk: jax.lax.dynamic_index_in_dim(
+                    cache[kk], idx, 0, keepdims=False)
+                    for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
+                ctx = _a8.int8_decode_attention_cur(
+                    q[:, 0], layer_view["k_codes"], layer_view["k_scale"],
+                    layer_view["v_codes"], layer_view["v_scale"],
+                    kc, ks, vc, vs, positions)[:, None]
+                ctx = ctx.reshape(b_, t, nh * d).astype(x.dtype)
+                x = x + llama.quant_linear(ctx, layer["o_proj"], cfg)
+                h2 = llama.rms_norm(x, layer["post_attention_layernorm"],
+                                    cfg.rms_norm_eps)
+                x = x + llama.mlp(h2, layer, cfg)
+                return (x, cache), (kc, ks, vc, vs)
+
             def scat(buf, val):
                 # buf [L, B, H, S, ...]; advanced indices (idx, rows,
                 # posmat) with the H slice between put ALL T rows at once
@@ -707,8 +728,27 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
         return (x, cache), None
 
     nl = cfg.num_hidden_layers
-    (x, new_caches), _ = jax.lax.scan(
+    (x, new_caches), pend = jax.lax.scan(
         body, (x, caches), (jnp.arange(nl, dtype=jnp.int32), dense_stacks))
+    if pend is not None:
+        # commit all layers' pending one-token rows in ONE scatter per
+        # buffer: buf[:, rows, :, posmat] has advanced dims [B, 1] first,
+        # so values arrive as [B, T=1, L, H, ...]
+        kc, ks, vc, vs = pend                       # [L,B,H,1,D] / [L,B,H,1]
+        rows = jnp.arange(b)[:, None]
+
+        def commitc(buf, val):
+            return buf.at[:, rows, :, posmat].set(
+                val.transpose(1, 3, 0, 2, 4).astype(buf.dtype))
+
+        def commits(buf, val):
+            return buf.at[:, rows, :, posmat].set(
+                val.transpose(1, 3, 0, 2).astype(buf.dtype))
+
+        new_caches = {"k_codes": commitc(new_caches["k_codes"], kc),
+                      "k_scale": commits(new_caches["k_scale"], ks),
+                      "v_codes": commitc(new_caches["v_codes"], vc),
+                      "v_scale": commits(new_caches["v_scale"], vs)}
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
     logits = (x @ head) if head is not None else (x @ params["embed_tokens"].T)

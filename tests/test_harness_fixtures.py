@@ -291,3 +291,169 @@ def test_logiqa_lettered_prompt():
     assert "C. opt three\n" in d.context and d.context.endswith("Answer:")
     assert d.choices == ["opt one", "opt two", "opt three", "opt four"]
     assert d.gold == 2
+
+
+def test_mmlu_lettered_prompt_text_continuations():
+    d = _doc(harness.MMLU("anatomy"), dict(
+        question="Which of these branches of the trigeminal nerve contain "
+                 "somatic motor processes?",
+        choices=["The supraorbital nerve", "The infraorbital nerve",
+                 "The mental nerve", "None of the above"],
+        answer=3))
+    # tasks/hendrycks_test.py:129-154: lettered prompt, TEXT continuations
+    assert d.context.startswith("Question: Which of these branches")
+    assert "\nChoices:\nA. The supraorbital nerve\n" in d.context
+    assert d.context.endswith("D. None of the above\nAnswer:")
+    assert d.choices[0] == "The supraorbital nerve" and d.gold == 3
+
+
+def test_mmlu_letter_answer_and_registry():
+    d = _doc(harness.MMLU("world_religions"), dict(
+        question="Q?", choices=["w", "x", "y", "z"], answer="B"))
+    assert d.gold == 1
+    assert len([n for n in harness.TASKS if n.startswith("hendrycksTest-")]
+               ) == 57
+
+
+def test_race_collates_by_article():
+    rows = [
+        dict(article="The sun is a star.",
+             question="What is the sun?",
+             options=["A star", "A planet", "A moon", "A comet"],
+             answer="A"),
+        dict(article="The sun is a star.",
+             question="What orbits the sun?",
+             options=["Planets", "Stars", "Galaxies", "Nothing"],
+             answer="A"),
+    ]
+    docs = harness.RACE.convert(rows)
+    # one doc per ARTICLE (race.py:64-84), earlier questions answered inline
+    assert len(docs) == 1
+    d = docs[0]
+    assert d.context.startswith("Article: The sun is a star.\n\n")
+    assert "Question: What is the sun?\nAnswer: A star\n" in d.context
+    assert d.context.endswith("What orbits the sun?")
+    assert d.choices == ["Planets", "Stars", "Galaxies", "Nothing"]
+    assert d.gold == 0
+
+
+def test_mathqa_option_regex():
+    d = _doc(harness.MathQA, dict(
+        Problem="the banker ' s gain of a certain sum due 3 years hence at "
+                "10 % per annum is rs . 36 . what is the present worth ?",
+        options="a ) rs . 400 , b ) rs . 300 , c ) rs . 500 , d ) rs . 350 "
+                ", e ) none of these",
+        correct="a"))
+    assert d.context == ("Question: the banker ' s gain of a certain sum "
+                         "due 3 years hence at 10 % per annum is rs . 36 . "
+                         "what is the present worth ?\nAnswer:")
+    assert d.choices == ["rs . 400", "rs . 300", "rs . 500", "rs . 350",
+                         "none of these"]
+    assert d.gold == 0
+
+
+def test_pubmedqa_abstract_and_decision():
+    d = _doc(harness.PubMedQA, dict(
+        question="Do mitochondria play a role in apoptosis?",
+        context=dict(contexts=["Context one.", "Context two."]),
+        final_decision="yes"))
+    assert d.context == ("Abstract: Context one.\nContext two.\n"
+                         "Question: Do mitochondria play a role in "
+                         "apoptosis?\nAnswer:")
+    assert d.choices == ["yes", "no", "maybe"] and d.gold == 0
+
+
+def test_anli_label_order():
+    d = _doc(harness.ANLI(1), dict(
+        premise="The cat sat on the mat.",
+        hypothesis="An animal was on the mat", label=0))
+    # tasks/anli.py:62-84 — question appended with no newline; 0=True
+    assert d.context == ("The cat sat on the mat.\nQuestion: An animal was "
+                         "on the mat True, False, or Neither?\nAnswer:")
+    assert d.choices == ["True", "Neither", "False"] and d.gold == 0
+
+
+def test_mnli_trailing_period():
+    d = _doc(harness.MNLI, dict(
+        premise="The new rights are nice enough",
+        hypothesis="Everyone really likes the newest benefits ", label=1))
+    # glue.py:180-192: hypothesis stripped + period appended if missing
+    assert d.context == ("The new rights are nice enough\nQuestion: "
+                         "Everyone really likes the newest benefits. True, "
+                         "False or Neither?\nAnswer:")
+    assert d.choices == ["True", "Neither", "False"] and d.gold == 1
+
+
+def test_qnli_yes_no():
+    d = _doc(harness.QNLI, dict(
+        question="What came into force after the new constitution was "
+                 "herald?",
+        sentence="As of that day, the new constitution heralding the "
+                 "Second Republic came into force.",
+        label=0))
+    assert d.context.endswith(
+        "\nQuestion: Does this response answer the question?\nAnswer:")
+    assert d.choices == ["yes", "no"] and d.gold == 0
+
+
+def test_qqp_and_mrpc_and_wnli_formats():
+    d = _doc(harness.QQP, dict(question1="How do I read faster?",
+                               question2="How can I read more quickly?",
+                               label=1))
+    assert d.context.startswith("Question 1: How do I read faster?\n"
+                                "Question 2: How can I read more quickly?")
+    assert d.choices == ["no", "yes"] and d.gold == 1
+    d = _doc(harness.MRPC, dict(
+        sentence1="He said the food is n't fresh .",
+        sentence2='She replied , " it is fresh " .', label=0))
+    # general_detokenize fixes PTB spacing (utils.py:62-69)
+    assert "He said the food isn't fresh." in d.context
+    assert d.choices == ["no", "yes"] and d.gold == 0
+    d = _doc(harness.WNLI, dict(sentence1="A.", sentence2="B.", label=1))
+    assert d.choices == ["False", "True"] and d.gold == 1
+
+
+def test_sst_cola_formats():
+    d = _doc(harness.SST, dict(sentence="it 's a charming journey .",
+                               label=1))
+    assert d.context == ("it's a charming journey.\nQuestion: Is this "
+                         "sentence positive or negative?\nAnswer:")
+    assert d.choices == ["negative", "positive"] and d.gold == 1
+    d = _doc(harness.CoLA, dict(sentence="The book was written by John.",
+                                label=1))
+    assert d.context == ("The book was written by John.\nQuestion: Does "
+                         "this sentence make sense?\nAnswer:")
+    assert d.choices == ["no", "yes"] and d.gold == 1
+
+
+def test_wsc273_partial_context_fixed_target():
+    rows = [dict(
+        text="The city councilmen refused the demonstrators a permit "
+             "because they feared violence.",
+        pronoun="they", pronoun_loc=63,
+        options=["The city councilmen", "The demonstrators"], label=0)]
+    docs = harness.WSC273.convert(rows)
+    ctxs, target, gold = docs[0]
+    # tasks/wsc273.py:96-118: context varies per option (pronoun replaced,
+    # capitalized option lowercased mid-sentence), target is the tail
+    assert ctxs[0].endswith("because the city councilmen")
+    assert ctxs[1].endswith("because the demonstrators")
+    assert target == " feared violence."
+    assert gold == 0
+
+
+def test_truthfulqa_qa_prompt_and_splits():
+    rows = [dict(
+        question="What is the smallest country in the world?",
+        mc1_targets=dict(
+            choices=["Vatican City is the smallest country.",
+                     "Monaco is the smallest country."],
+            labels=[1, 0]),
+        mc2_targets=dict(
+            choices=["Vatican City.", "The Vatican.", "Monaco."],
+            labels=[1, 1, 0]))]
+    docs = harness.TruthfulQAMC.convert(rows)
+    ctx, mc1, mc2, split = docs[0]
+    assert ctx.startswith("Q: What is human life expectancy")
+    assert ctx.endswith("Q: What is the smallest country in the world?\nA:")
+    assert mc1[0].startswith("Vatican City") and split == 2
