@@ -296,6 +296,7 @@ class MultipleChoiceTask:
             spans.append((start, len(reqs), d))
         scores = lm.loglikelihood(reqs)
         acc = accn = 0
+        preds = []                       # (doc, argmax pick) per document
         for start, end, d in spans:
             lls = [scores[k][0] for k in range(start, end)]
             lens = [max(len(c) + 1, 1) for c in d.choices]
@@ -303,9 +304,18 @@ class MultipleChoiceTask:
             pickn = int(np.argmax([l / n for l, n in zip(lls, lens)]))
             acc += pick == d.gold
             accn += pickn == d.gold
+            preds.append((d, pick))
         n = max(len(spans), 1)
-        return {"task": self.name, "acc": acc / n, "acc_norm": accn / n,
-                "n": n}
+        res = {"task": self.name, "acc": acc / n, "acc_norm": accn / n,
+               "n": n}
+        res.update(self._extra_metrics(preds))
+        return res
+
+    def _extra_metrics(self, preds: list) -> dict:
+        """Hook for subclass metrics derived from the SAME scored pass
+        (``preds`` = [(doc, argmax_pick)]) — e.g. CoLA's MCC — so no task
+        re-scores its requests a second time."""
+        return {}
 
 
 def _hf_docs(loader):
@@ -1028,21 +1038,12 @@ class CoLA(MultipleChoiceTask):
                                              split="validation"))
         return _hf_docs(load)
 
-    def evaluate(self, lm: MXQLM, tokenize, limit: Optional[int] = None
-                 ) -> dict:
-        res = super().evaluate(lm, tokenize, limit)
-        # recompute predictions for MCC (needs the confusion matrix, which
-        # plain accuracy discards)
-        docs = list(self.docs())
-        if limit:
-            docs = docs[:limit]
-        reqs = [(tokenize(d.context), tokenize(" " + ch.strip()))
-                for d in docs for ch in d.choices]
-        scores = lm.loglikelihood(reqs)
+    def _extra_metrics(self, preds: list) -> dict:
+        # MCC from the confusion matrix of the single scored pass (the
+        # reference scores each request once and derives both metrics,
+        # tasks/glue.py:70-93 + metrics matthews_corrcoef)
         tp = tn = fp = fn = 0
-        for i, d in enumerate(docs):
-            lls = [scores[2 * i + j][0] for j in range(2)]
-            pred = int(np.argmax(lls))
+        for d, pred in preds:
             if pred and d.gold:
                 tp += 1
             elif pred and not d.gold:
@@ -1052,8 +1053,7 @@ class CoLA(MultipleChoiceTask):
             else:
                 tn += 1
         denom = np.sqrt(float((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
-        res["mcc"] = float((tp * tn - fp * fn) / denom) if denom else 0.0
-        return res
+        return {"mcc": float((tp * tn - fp * fn) / denom) if denom else 0.0}
 
 
 class WSC273:
@@ -1175,7 +1175,9 @@ class TruthfulQAMC:
         for ctx, mc1, mc2, split in docs:
             start = len(reqs)
             for ch in mc1 + mc2:
-                reqs.append((tokenize(ctx), tokenize(" " + ch.strip())))
+                # " " + target with NO strip — the reference keeps targets
+                # verbatim (tasks/truthfulqa.py:125)
+                reqs.append((tokenize(ctx), tokenize(" " + ch)))
             spans.append((start, len(mc1), len(mc2), split))
         scores = lm.loglikelihood(reqs)
         m1 = m2 = 0.0

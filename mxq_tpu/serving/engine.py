@@ -648,6 +648,7 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
             kc, ks = kvcache.quantize_kv_headmajor(k)   # [B,H,T,D], [B,H,T]
             vc, vs = kvcache.quantize_kv_headmajor(v)
             rows = jnp.arange(b_)[:, None]
+            from mxq_tpu.ops import attn_int8 as _a8
 
             if t == 1:
                 # DEFERRED WRITE (decode): the current row goes to the
@@ -655,7 +656,6 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
                 # pending output; one stacked scatter commits all layers
                 # after the scan (the per-layer update chain cost ~1.05 ms
                 # of the 8.9 ms 7B step — docs/RESULTS.md r3 trace).
-                from mxq_tpu.ops import attn_int8 as _a8
                 layer_view = {kk: jax.lax.dynamic_index_in_dim(
                     cache[kk], idx, 0, keepdims=False)
                     for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
@@ -663,40 +663,37 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
                     q[:, 0], layer_view["k_codes"], layer_view["k_scale"],
                     layer_view["v_codes"], layer_view["v_scale"],
                     kc, ks, vc, vs, positions)[:, None]
-                ctx = ctx.reshape(b_, t, nh * d).astype(x.dtype)
-                x = x + llama.quant_linear(ctx, layer["o_proj"], cfg)
-                h2 = llama.rms_norm(x, layer["post_attention_layernorm"],
-                                    cfg.rms_norm_eps)
-                x = x + llama.mlp(h2, layer, cfg)
-                return (x, cache), (kc, ks, vc, vs)
+                pend = (kc, ks, vc, vs)
+            else:
+                def scat(buf, val):
+                    # buf [L, B, H, S, ...]; advanced indices (idx, rows,
+                    # posmat) with the H slice between put ALL T rows at once
+                    # at (idx, rows[b], :, posmat[b, t]) — one stacked
+                    # scatter per buffer, matching the bf16 branch
+                    return buf.at[idx, rows, :, posmat].set(
+                        jnp.moveaxis(val, 2, 1).astype(buf.dtype))
 
-            def scat(buf, val):
-                # buf [L, B, H, S, ...]; advanced indices (idx, rows,
-                # posmat) with the H slice between put ALL T rows at once
-                # at (idx, rows[b], :, posmat[b, t]) — one stacked scatter
-                # per buffer, matching the bf16 branch
-                return buf.at[idx, rows, :, posmat].set(
-                    jnp.moveaxis(val, 2, 1).astype(buf.dtype))
-
-            cache = {
-                "k_codes": scat(cache["k_codes"], kc),
-                "k_scale": scat(cache["k_scale"], ks),
-                "v_codes": scat(cache["v_codes"], vc),
-                "v_scale": scat(cache["v_scale"], vs),
-            }
-            layer_view = {kk: jax.lax.dynamic_index_in_dim(
-                cache[kk], idx, 0, keepdims=False)
-                for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
-            # fused decode attention straight off the int8 codes
-            from mxq_tpu.ops import attn_int8 as _a8
-            ctx = jnp.stack([
-                _a8.int8_decode_attention(
-                    q[:, ti], layer_view["k_codes"], layer_view["k_scale"],
-                    layer_view["v_codes"], layer_view["v_scale"],
-                    positions + ti)
-                for ti in range(t)], axis=1)
+                cache = {
+                    "k_codes": scat(cache["k_codes"], kc),
+                    "k_scale": scat(cache["k_scale"], ks),
+                    "v_codes": scat(cache["v_codes"], vc),
+                    "v_scale": scat(cache["v_scale"], vs),
+                }
+                layer_view = {kk: jax.lax.dynamic_index_in_dim(
+                    cache[kk], idx, 0, keepdims=False)
+                    for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
+                # fused decode attention straight off the int8 codes
+                ctx = jnp.stack([
+                    _a8.int8_decode_attention(
+                        q[:, ti], layer_view["k_codes"],
+                        layer_view["k_scale"], layer_view["v_codes"],
+                        layer_view["v_scale"], positions + ti)
+                    for ti in range(t)], axis=1)
+                pend = None
             ctx = ctx.reshape(b_, t, nh * d).astype(x.dtype)
         else:
+            pend = None
+
             def scatter(buf, val):
                 # buf [L, B, S, H, D], val [B, T, H, D]: row posmat[b, t]
                 # of slot b <- val[b, t] (rows within one call are distinct)
@@ -725,7 +722,7 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
         h2 = llama.rms_norm(x, layer["post_attention_layernorm"],
                             cfg.rms_norm_eps)
         x = x + llama.mlp(h2, layer, cfg)
-        return (x, cache), None
+        return (x, cache), pend
 
     nl = cfg.num_hidden_layers
     (x, new_caches), pend = jax.lax.scan(

@@ -58,11 +58,26 @@ def test_deterministic_golden():
 
 
 def test_registered_tasks_exist():
-    assert set(harness.TASKS) == {"piqa", "winogrande", "hellaswag",
-                                  "arc_easy", "arc_challenge", "boolq",
-                                  "siqa", "obqa", "copa", "rte", "sciq",
-                                  "swag", "cb", "wic", "logiqa",
-                                  "lambada_openai", "wikitext"}
+    # the 8 LLM-QAT README headline tasks + the reference README's eval set
+    # must always be present (LLM-QAT/README.md:42-55; README.md:26-34) ...
+    headline = {"boolq", "piqa", "siqa", "hellaswag", "winogrande",
+                "arc_easy", "arc_challenge", "obqa", "wikitext"}
+    assert headline <= set(harness.TASKS)
+    # ... plus the broad registry families mirroring the vendored harness
+    # v0.3.0 (glue, superglue subset, anli, hendrycksTest-*, race, ...)
+    names = set(harness.TASKS)
+    assert {"cola", "mnli", "mnli_mismatched", "mrpc", "qnli", "qqp",
+            "rte", "sst", "wnli"} <= names                      # GLUE
+    assert {"anli_r1", "anli_r2", "anli_r3"} <= names           # ANLI
+    assert {"cb", "copa", "wic", "wsc273", "sciq", "swag", "logiqa",
+            "race", "mathqa", "pubmedqa", "truthfulqa_mc",
+            "lambada_openai"} <= names
+    hend = {t for t in names if t.startswith("hendrycksTest-")}
+    assert len(hend) == 57                                      # full MMLU
+    assert len(names) >= 90
+    # every registered task exposes the evaluate protocol
+    for name, t in harness.TASKS.items():
+        assert callable(getattr(t, "evaluate", None)), name
 
 
 def test_missing_dataset_raises():

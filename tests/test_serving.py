@@ -70,6 +70,45 @@ class TestInt8Attention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-2, atol=2e-3)
 
+    def test_deferred_write_matches_write_then_attend(self):
+        """int8_decode_attention_cur (strict <pos history mask + out-of-cache
+        current-token softmax term) must equal splicing the current row into
+        the cache at pos and attending with int8_decode_attention — incl. the
+        pos=0 edge (no history) and GQA. Pins the deferred-write decode math
+        directly (previously only covered end-to-end via the engine)."""
+        from mxq_tpu.ops import attn_int8
+        b, hq, hkv, s, d = 3, 8, 4, 32, 64
+        keys = jax.random.split(jax.random.PRNGKey(7), 7)
+        q = jax.random.normal(keys[0], (b, hq, d), jnp.float32)
+        kc = jax.random.randint(keys[1], (b, hkv, s, d), -127, 128, jnp.int8)
+        vc = jax.random.randint(keys[2], (b, hkv, s, d), -127, 128, jnp.int8)
+        ks = (jax.random.uniform(keys[3], (b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        vs = (jax.random.uniform(keys[4], (b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        kcur = jax.random.randint(keys[5], (b, hkv, 1, d), -127, 128,
+                                  jnp.int8)
+        vcur = jax.random.randint(keys[6], (b, hkv, 1, d), -127, 128,
+                                  jnp.int8)
+        kscur = jnp.full((b, hkv, 1), 0.015, jnp.bfloat16)
+        vscur = jnp.full((b, hkv, 1), 0.012, jnp.bfloat16)
+        # pos=0 (no history), mid, and last-row edge
+        positions = jnp.array([0, 11, s - 1], jnp.int32)
+
+        out = attn_int8.int8_decode_attention_cur(
+            q, kc, ks, vc, vs, kcur, kscur, vcur, vscur, positions)
+
+        # write-then-attend oracle: splice the current row in at positions[b]
+        rows = jnp.arange(b)
+        kc2 = kc.at[rows, :, positions].set(kcur[:, :, 0])
+        vc2 = vc.at[rows, :, positions].set(vcur[:, :, 0])
+        ks2 = ks.at[rows, :, positions].set(kscur[:, :, 0])
+        vs2 = vs.at[rows, :, positions].set(vscur[:, :, 0])
+        ref = attn_int8.int8_decode_attention(q, kc2, ks2, vc2, vs2,
+                                              positions)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-3)
+
 
 class TestEngine:
     def test_matches_greedy_decode(self):
