@@ -309,33 +309,30 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
             if t == 1:
                 # fused decode attention consumes the int8 codes directly —
                 # HBM reads stay int8 and no full-cache dequant materializes
-                # (the round-1 regression, docs/RESULTS.md). The layer VIEW
-                # (slice copy) + 4-D kernel measured FASTER than indexing
-                # the stacked 5-D cache inside the kernel via scalar
-                # prefetch (38.6 vs 59.3 us/layer on device, r3 A/B —
-                # Mosaic's 5-D block DMA overhead exceeds the copy it
-                # avoids), so the view path stays; the stacked variant is
-                # attn_int8.int8_decode_attention_stacked.
+                # (the round-1 regression, docs/RESULTS.md).
                 #
-                # DEFERRED WRITE: the current token's quantized K/V go to
-                # the kernel out-of-cache (strict < pos mask + separate
-                # softmax terms — same math as write-then-attend) and ride
-                # out of the scan as per-layer "pending" rows; forward()
-                # commits all layers in ONE stacked update after the scan.
-                # The per-layer dynamic_update_slice chain this removes
-                # cost ~1.05 ms of the 8.9 ms 7B decode step (r3 trace).
+                # FUSED WRITE (r4): the kernel reads layer ``idx`` straight
+                # out of the FOLDED [L*B, H, S, D] stack (scalar-prefetch
+                # index maps; 4-D blocks, so none of the r3 5-D-block DMA
+                # penalty) and commits the current token's code rows
+                # in-kernel through aliased outputs. This removes BOTH the
+                # per-layer layer-view copies (~0.79 ms/step on 7B, r4
+                # trace) and the post-scan code commits (~0.24 ms/step).
+                # The current token still enters the softmax out-of-cache
+                # (strict < pos mask — same math as write-then-attend);
+                # only the tiny scale rows ride out of the scan as
+                # "pending" and commit in ONE stacked update in forward().
                 from mxq_tpu.ops import attn_int8 as _a8
-                layer_view = {kk: jax.lax.dynamic_index_in_dim(
-                    cache[kk], idx, 0, keepdims=False)
-                    for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
                 positions = jnp.full((b,), cache_pos, jnp.int32)
-                ctx = _a8.int8_decode_attention_cur(
-                    q[:, 0], layer_view["k_codes"], layer_view["k_scale"],
-                    layer_view["v_codes"], layer_view["v_scale"],
-                    kc, ksc, vc, vsc, positions)
+                ctx, kc2, vc2 = _a8.int8_decode_attention_fused_write(
+                    q[:, 0], cache["k_codes"], cache["k_scale"],
+                    cache["v_codes"], cache["v_scale"],
+                    kc, ksc, vc, vsc, idx, positions)
                 ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
                 new_cache = dict(cache)
-                new_cache["pending"] = (kc, ksc, vc, vsc)
+                new_cache["k_codes"] = kc2
+                new_cache["v_codes"] = vc2
+                new_cache["pending"] = (ksc, vsc)
                 return (quant_linear(ctx, layer["o_proj"], cfg, train),
                         new_cache)
             updc = lambda buf, val: jax.lax.dynamic_update_slice(
@@ -517,10 +514,11 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
     else:
         # stacked caches ride the CARRY; each layer writes only its one-token
         # slice in place (see the stacked-cache branch in attention()). The
-        # int8 t==1 decode path instead emits its quantized row as a
-        # "pending" scan OUTPUT and the carry passes through untouched —
-        # all layers commit below in ONE stacked update (removes the
-        # per-layer dynamic_update_slice/copy chain, ~1.05 ms/step on 7B).
+        # int8 t==1 decode path writes its code rows IN-KERNEL (fused-write
+        # attention, aliased outputs) and emits only the scale rows as a
+        # "pending" scan OUTPUT — all layers' scales commit below in ONE
+        # stacked update (the per-layer update/copy chain this replaces
+        # cost ~1.1 ms of the 8.9 ms 7B decode step, r4 trace).
         def body_cached(carry, inputs):
             xc, cstate = carry
             idx, dense_sl = inputs
@@ -534,16 +532,16 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
         (x, new_caches), pend = jax.lax.scan(body_cached, (x, caches),
                                              (idxs, dense_stacks))
         if pend is not None:
-            # pend: (kc [L,B,H,1,D], ks [L,B,H,1], vc, vs) — one-token rows
-            kc, ks, vc, vs = pend
+            # pend: (ks [L,B,H,1], vs [L,B,H,1]) — one-token SCALE rows (the
+            # code rows were already written in-kernel by the fused-write
+            # attention; scales are ~1000x smaller so a stacked update is
+            # cheap)
+            ks, vs = pend
             pos = cache_pos
-            updc = lambda buf, val: jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype), (0, 0, 0, pos, 0))
             upds = lambda buf, val: jax.lax.dynamic_update_slice(
                 buf, val.astype(buf.dtype), (0, 0, 0, pos))
-            new_caches = {"k_codes": updc(new_caches["k_codes"], kc),
+            new_caches = {**new_caches,
                           "k_scale": upds(new_caches["k_scale"], ks),
-                          "v_codes": updc(new_caches["v_codes"], vc),
                           "v_scale": upds(new_caches["v_scale"], vs)}
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)

@@ -304,6 +304,157 @@ def _on_cpu() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _kernel_cur_write(pos_ref, idx_ref, q_ref, kc_ref, ks_ref, vc_ref,
+                      vs_ref, kcur_ref, kscur_ref, vcur_ref, vscur_ref,
+                      o_ref, kcw_ref, vcw_ref, *, scale):
+    del idx_ref   # consumed by the BlockSpec index maps
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    cur = (kcur_ref[0], kscur_ref[0], vcur_ref[0], vscur_ref[0])
+    ctx = _attend(q_ref[0], kc_ref[0], ks_ref[0], vc_ref[0], vs_ref[0],
+                  pos, scale, cur=cur)
+    o_ref[0] = ctx.astype(o_ref.dtype)
+    # commit the current token's code rows for this (batch, head-block):
+    # the output blocks are (1, hb, 8, d) windows of the ALIASED cache
+    # buffers positioned at row-octet ``positions[b] // 8`` by their index
+    # maps (Mosaic requires the last-two block dims be multiples of
+    # (8, 128) — a single row is not expressible), so 8 rows travel back
+    # to HBM instead of the full [S, D] block. The 7 sibling rows are
+    # copied through unchanged from the input block (history below pos,
+    # never-written garbage above — both must round-trip verbatim).
+    base = (pos // 8) * 8
+    r = pos - base
+    hb8d = kcw_ref.shape[1:]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, hb8d, 1)
+    wink = kc_ref[0, :, pl.ds(base, 8), :]
+    winv = vc_ref[0, :, pl.ds(base, 8), :]
+    kcw_ref[0] = jnp.where(rowi == r, kcur_ref[0], wink)
+    vcw_ref[0] = jnp.where(rowi == r, vcur_ref[0], winv)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attn_call_cur_write(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
+                         positions, idx, *, interpret):
+    """Deferred-write decode attention over the FOLDED stacked cache.
+
+    ``kc``/``vc`` arrive as [L*B, H, S, D] (the stacked [L, B, ...] cache
+    with its two leading dims collapsed — a free bitcast), ``ks``/``vs`` as
+    [L*B, H, 1, S]. The traced layer index rides scalar prefetch and the
+    index maps address row ``idx*B + bi``, so blocks stay 4-D — the r3
+    5-D-block variant paid a Mosaic DMA penalty that swamped the copy it
+    avoided (59.3 vs 38.6 us/layer, docs/RESULTS.md); 4-D blocks over the
+    folded stack are shaped exactly like the layer-view kernel's.
+
+    The current token's code rows are written IN-KERNEL through outputs
+    aliased to the cache inputs, with (1, hb, 8, d) blocks index-mapped to
+    the row-octet holding ``positions[b]`` — replacing both the per-layer
+    layer-view copies
+    (~0.79 ms/step on 7B) and the post-scan dynamic_update_slice commits of
+    the codes (~0.24 ms/step); only the (tiny) scale rows still commit
+    after the scan. Requires S > max(positions): the engine retires a slot
+    at max_len - 1, so the write row never aliases the causal read window.
+    """
+    b, hkv, g8, d = q.shape
+    lb, _, s, _ = kc.shape
+    hb = _pick_head_block(hkv, s, d)
+    grid = (b, hkv // hb)
+    scale = 1.0 / float(np.sqrt(d))
+    nb = b
+
+    def cache_spec(shp3):
+        return pl.BlockSpec(
+            (1, hb) + shp3,
+            lambda bi, hi, p, i: (i[0] * nb + bi, hi, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def cur_spec(shp3):
+        return pl.BlockSpec(
+            (1, hb) + shp3, lambda bi, hi, p, i: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            cur_spec((g8, d)),              # q
+            cache_spec((s, d)),             # k codes (folded stack)
+            cache_spec((1, s)),             # k scale
+            cache_spec((s, d)),             # v codes
+            cache_spec((1, s)),             # v scale
+            cur_spec((1, d)),               # current k codes
+            cur_spec((1, 1)),               # current k scale
+            cur_spec((1, d)),               # current v codes
+            cur_spec((1, 1)),               # current v scale
+        ],
+        out_specs=[
+            cur_spec((g8, d)),              # ctx
+            # 8-row write windows into the aliased cache buffers (row-octet
+            # containing positions[b]; Mosaic's minimum S-axis block is 8)
+            pl.BlockSpec((1, hb, 8, d),
+                         lambda bi, hi, p, i: (i[0] * nb + bi, hi,
+                                               p[bi] // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, 8, d),
+                         lambda bi, hi, p, i: (i[0] * nb + bi, hi,
+                                               p[bi] // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_cur_write, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, g8, d), jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ],
+        # input indices INCLUDE the scalar-prefetch args: 0 = positions,
+        # 1 = idx, 2 = q, 3 = k codes, 5 = v codes
+        input_output_aliases={3: 1, 5: 2},
+        interpret=interpret,
+    )(positions.astype(jnp.int32), jnp.asarray(idx, jnp.int32).reshape(1),
+      q, kc, ks, vc, vs, kcur, kscur[:, :, :, None], vcur,
+      vscur[:, :, :, None])
+
+
+def int8_decode_attention_fused_write(q, k_codes, k_scale, v_codes, v_scale,
+                                      kcur, kscur, vcur, vscur, layer_idx,
+                                      positions,
+                                      interpret: bool | None = None):
+    """Deferred-write decode attention reading layer ``layer_idx`` straight
+    out of the STACKED cache and committing the current token's code rows
+    in-kernel (aliased outputs).
+
+    q:          [B, H_q, D]
+    k/v_codes:  [L, B, H_kv, S, D] int8 — the full stack
+    k/v_scale:  [L, B, H_kv, S] bf16
+    kcur/vcur:  [B, H_kv, 1, D] int8 — this step's quantized K/V
+    kscur/vscur:[B, H_kv, 1] bf16
+    layer_idx:  traced scalar
+    positions:  [B] int32
+    Returns (ctx [B, H_q, D] f32, new_k_codes, new_v_codes) — the code
+    stacks with row ``positions[b]`` of layer ``layer_idx`` updated; the
+    SCALE rows are NOT written (the caller commits them, they are ~1000x
+    smaller). Math identical to int8_decode_attention_cur.
+    """
+    if interpret is None:
+        interpret = _on_cpu()
+    l, b, hkv, s, d = k_codes.shape
+    hq = q.shape[1]
+    g = hq // hkv
+    g8 = max(8, g)
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    if g8 != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
+    fold = lambda c: c.reshape(l * b, hkv, s, d)        # noqa: E731
+    folds = lambda c: c.reshape(l * b, hkv, 1, s)       # noqa: E731
+    out, kc2, vc2 = _attn_call_cur_write(
+        qg, fold(k_codes), folds(k_scale), fold(v_codes), folds(v_scale),
+        kcur, kscur, vcur, vscur, positions, layer_idx, interpret=interpret)
+    return (out[:, :, :g, :].reshape(b, hq, d),
+            kc2.reshape(l, b, hkv, s, d), vc2.reshape(l, b, hkv, s, d))
+
+
 def int8_decode_attention(q, k_codes, k_scale, v_codes, v_scale, positions,
                           interpret: bool | None = None) -> jax.Array:
     """One-token attention over the quantized cache.

@@ -109,6 +109,47 @@ class TestInt8Attention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-2, atol=2e-3)
 
+    def test_fused_write_matches_cur_and_writes_rows(self):
+        """int8_decode_attention_fused_write (folded-stack reads + in-kernel
+        aliased row writes) must produce the same ctx as
+        int8_decode_attention_cur on the layer view, and its returned code
+        stacks must equal splicing each slot's current row in at
+        positions[b] of layer idx — all other layers untouched."""
+        from mxq_tpu.ops import attn_int8
+        L, b, hq, hkv, s, d = 3, 3, 8, 4, 32, 64
+        keys = jax.random.split(jax.random.PRNGKey(11), 7)
+        q = jax.random.normal(keys[0], (b, hq, d), jnp.float32)
+        kc = jax.random.randint(keys[1], (L, b, hkv, s, d), -127, 128,
+                                jnp.int8)
+        vc = jax.random.randint(keys[2], (L, b, hkv, s, d), -127, 128,
+                                jnp.int8)
+        ks = (jax.random.uniform(keys[3], (L, b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        vs = (jax.random.uniform(keys[4], (L, b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        kcur = jax.random.randint(keys[5], (b, hkv, 1, d), -127, 128,
+                                  jnp.int8)
+        vcur = jax.random.randint(keys[6], (b, hkv, 1, d), -127, 128,
+                                  jnp.int8)
+        kscur = jnp.full((b, hkv, 1), 0.015, jnp.bfloat16)
+        vscur = jnp.full((b, hkv, 1), 0.012, jnp.bfloat16)
+        positions = jnp.array([0, 11, s - 1], jnp.int32)
+        rows = jnp.arange(b)
+        for idx in range(L):
+            out, kc2, vc2 = attn_int8.int8_decode_attention_fused_write(
+                q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
+                jnp.int32(idx), positions)
+            ref = attn_int8.int8_decode_attention_cur(
+                q, kc[idx], ks[idx], vc[idx], vs[idx],
+                kcur, kscur, vcur, vscur, positions)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+            kc_ref = kc.at[idx, rows, :, positions].set(kcur[:, :, 0])
+            vc_ref = vc.at[idx, rows, :, positions].set(vcur[:, :, 0])
+            np.testing.assert_array_equal(np.asarray(kc2),
+                                          np.asarray(kc_ref))
+            np.testing.assert_array_equal(np.asarray(vc2),
+                                          np.asarray(vc_ref))
+
 
 class TestEngine:
     def test_matches_greedy_decode(self):
