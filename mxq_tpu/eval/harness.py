@@ -1204,15 +1204,34 @@ TASKS = {t.name: t for t in (PIQA(), Winogrande(), HellaSwag(), ArcEasy(),
                              *(MMLU(s) for s in MMLU_SUBJECTS))}
 
 
+def all_tasks() -> dict:
+    """The full registry: core tasks + the extended families
+    (tasks_ext.py — BLiMP, CrowS-Pairs, Pile, arithmetic, ethics,
+    generation tasks, ...). Lazy so importing harness alone stays cheap."""
+    from mxq_tpu.eval import tasks_ext
+    reg = dict(TASKS)
+    reg.update(tasks_ext.TASKS_EXT)
+    return reg
+
+
 def evaluate(lm: MXQLM, tokenize, task_names: Sequence[str],
-             limit: Optional[int] = None) -> list[dict]:
+             limit: Optional[int] = None, tok=None) -> list[dict]:
     """Run the named tasks (evaluator.simple_evaluate analogue,
     evaluator.py:21-138). Raises if a task's dataset is unavailable rather
-    than silently reporting accuracy over zero documents."""
+    than silently reporting accuracy over zero documents.
+
+    ``tok`` is the real tokenizer (encode+decode); generation tasks
+    (gsm8k, drop, translation, ...) require it and raise without it."""
+    import inspect
+    registry = all_tasks()
     results = []
     for name in task_names:
-        task = TASKS[name]
-        res = task.evaluate(lm, tokenize, limit)
+        task = registry[name]
+        kwargs = {}
+        if tok is not None and "tok" in inspect.signature(
+                task.evaluate).parameters:
+            kwargs["tok"] = tok
+        res = task.evaluate(lm, tokenize, limit, **kwargs)
         results.append(res)
     return results
 
