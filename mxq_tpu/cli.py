@@ -153,6 +153,10 @@ def cmd_eval_ppl(args):
 def cmd_eval_tasks(args):
     from mxq_tpu.eval import harness
 
+    if args.tasks == "list":        # `--tasks list` prints the registry
+        for name in sorted(harness.all_tasks()):
+            print(name)
+        return
     cfg, params = _load_model(args, w_bits=args.w_bits)
     tok = _tokenizer(args)
     if tok is None:
@@ -161,7 +165,8 @@ def cmd_eval_tasks(args):
     lm = harness.MXQLM(params, cfg, batch_size=args.batch_size)
     tokenize = lambda s: np.asarray(tok(s)["input_ids"], np.int32)
     results = harness.evaluate(lm, tokenize, args.tasks.split(","),
-                               limit=args.limit)
+                               limit=args.limit, tok=tok,
+                               num_fewshot=args.num_fewshot)
     for r in results:
         print(json.dumps(r))
 
@@ -421,6 +426,8 @@ def main(argv=None):
     p.add_argument("--tasks", default="piqa,winogrande,hellaswag,arc_easy")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--limit", type=int, default=None)
+    # lmeval.py:52 --num_fewshot analogue (0 = the reference default)
+    p.add_argument("--num_fewshot", type=int, default=0)
     p.set_defaults(fn=cmd_eval_tasks)
 
     p = sub.add_parser("train")

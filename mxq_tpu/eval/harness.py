@@ -277,7 +277,7 @@ class MultipleChoiceTask:
         raise NotImplementedError
 
     def evaluate(self, lm: MXQLM, tokenize: Callable[[str], np.ndarray],
-                 limit: Optional[int] = None) -> dict:
+                 limit: Optional[int] = None, num_fewshot: int = 0) -> dict:
         docs = self.docs()
         if docs is None:
             raise RuntimeError(
@@ -288,11 +288,15 @@ class MultipleChoiceTask:
             raise RuntimeError(f"task {self.name!r} produced zero documents")
         if limit:
             docs = docs[:limit]
+        prefixes = fewshot_prefixes(
+            docs, num_fewshot,
+            lambda d: f"{d.context} {d.choices[d.gold]}")
         reqs, spans = [], []
-        for d in docs:
+        for d, pre in zip(docs, prefixes):
             start = len(reqs)
             for ch in d.choices:
-                reqs.append((tokenize(d.context), tokenize(" " + ch.strip())))
+                reqs.append((tokenize(pre + d.context),
+                             tokenize(" " + ch.strip())))
             spans.append((start, len(reqs), d))
         scores = lm.loglikelihood(reqs)
         acc = accn = 0
@@ -323,6 +327,27 @@ def _hf_docs(loader):
         return loader()
     except Exception:
         return None
+
+
+def fewshot_prefixes(docs: list, num_fewshot: int,
+                     example: Callable) -> list[str]:
+    """Per-document few-shot prefix strings: ``num_fewshot`` labeled
+    examples sampled from the evaluation docs themselves (excluding the
+    current doc), joined by blank lines — the reference's
+    fewshot_context fallback path for tasks without separate training
+    docs (lm-eval base.py:278-307, rnd seeded per evaluator.py:90).
+    Returns "" for every doc when num_fewshot == 0."""
+    if not num_fewshot:
+        return [""] * len(docs)
+    import random as _random
+    rnd = _random.Random(42)
+    out = []
+    for i in range(len(docs)):
+        pool = rnd.sample(range(len(docs)), min(num_fewshot + 1,
+                                                len(docs)))
+        pool = [j for j in pool if j != i][:num_fewshot]
+        out.append("\n\n".join(example(docs[j]) for j in pool) + "\n\n")
+    return out
 
 
 class PIQA(MultipleChoiceTask):
@@ -1215,22 +1240,32 @@ def all_tasks() -> dict:
 
 
 def evaluate(lm: MXQLM, tokenize, task_names: Sequence[str],
-             limit: Optional[int] = None, tok=None) -> list[dict]:
+             limit: Optional[int] = None, tok=None,
+             num_fewshot: int = 0) -> list[dict]:
     """Run the named tasks (evaluator.simple_evaluate analogue,
     evaluator.py:21-138). Raises if a task's dataset is unavailable rather
     than silently reporting accuracy over zero documents.
 
     ``tok`` is the real tokenizer (encode+decode); generation tasks
-    (gsm8k, drop, translation, ...) require it and raise without it."""
+    (gsm8k, drop, translation, ...) require it and raise without it.
+    ``num_fewshot`` prepends sampled labeled examples for tasks that
+    support it (MC + generation families); tasks that are inherently
+    zero-shot (BLiMP, Pile, CrowS-Pairs, TruthfulQA) raise if asked."""
     import inspect
     registry = all_tasks()
     results = []
     for name in task_names:
         task = registry[name]
+        params = inspect.signature(task.evaluate).parameters
         kwargs = {}
-        if tok is not None and "tok" in inspect.signature(
-                task.evaluate).parameters:
+        if tok is not None and "tok" in params:
             kwargs["tok"] = tok
+        if num_fewshot:
+            if "num_fewshot" not in params:
+                raise RuntimeError(
+                    f"task {name!r} is zero-shot only "
+                    "(the reference asserts num_fewshot == 0 for it)")
+            kwargs["num_fewshot"] = num_fewshot
         res = task.evaluate(lm, tokenize, limit, **kwargs)
         results.append(res)
     return results

@@ -271,12 +271,16 @@ class IsGreedyTask(_TaskBase):
         """[(context, target)]"""
         raise NotImplementedError
 
-    def evaluate(self, lm: MXQLM, tokenize, limit: Optional[int] = None
-                 ) -> dict:
+    def evaluate(self, lm: MXQLM, tokenize, limit: Optional[int] = None,
+                 num_fewshot: int = 0) -> dict:
+        from mxq_tpu.eval.harness import fewshot_prefixes
         docs = self._need(self.docs())
         if limit:
             docs = docs[:limit]
-        sc = lm.loglikelihood([(tokenize(c), tokenize(t)) for c, t in docs])
+        pres = fewshot_prefixes(docs, num_fewshot,
+                                lambda d: f"{d[0]}{d[1]}")
+        sc = lm.loglikelihood([(tokenize(p + c), tokenize(t))
+                               for (c, t), p in zip(docs, pres)])
         acc = float(np.mean([float(g) for _, g in sc]))
         return {"task": self.name, "acc": acc, "n": len(docs)}
 
@@ -1086,13 +1090,19 @@ class GenerationTask(_TaskBase):
         """Per-document metric contributions (averaged by default)."""
         raise NotImplementedError
 
+    def example_target(self, doc) -> Optional[str]:
+        """Gold completion text for a few-shot example; None = task is
+        zero-shot only (reference tasks without doc_to_target)."""
+        return None
+
     def metrics(self, docs: list, preds: list[str]) -> dict:
         per = [self.score(d, p) for d, p in zip(docs, preds)]
         keys = per[0].keys()
         return {k: float(np.mean([p[k] for p in per])) for k in keys}
 
     def evaluate(self, lm: MXQLM, tokenize, limit: Optional[int] = None,
-                 tok=None) -> dict:
+                 tok=None, num_fewshot: int = 0) -> dict:
+        from mxq_tpu.eval.harness import fewshot_prefixes
         if tok is None:
             raise RuntimeError(
                 f"task {self.name!r} generates text and needs the real "
@@ -1100,12 +1110,17 @@ class GenerationTask(_TaskBase):
         docs = self._need(self.docs())
         if limit:
             docs = docs[:limit]
+        if num_fewshot and self.example_target(docs[0]) is None:
+            raise RuntimeError(f"task {self.name!r} is zero-shot only")
+        pres = fewshot_prefixes(
+            docs, num_fewshot,
+            lambda d: f"{self.context(d)}{self.example_target(d)}")
         stop_toks = [np.asarray(
             tok(s, add_special_tokens=False)["input_ids"], np.int32).tolist()
             for s in self.stops]
         preds = []
-        for d in docs:
-            ids = tokenize(self.context(d))
+        for d, pre in zip(docs, pres):
+            ids = tokenize(pre + self.context(d))
             gen = lm.greedy_generate(ids, self.max_gen, stop_toks)
             text = tok.decode(gen, skip_special_tokens=True)
             for s in self.stops:
@@ -1151,6 +1166,9 @@ class GSM8K(GenerationTask):
     def context(self, d):
         return "Question: " + d["question"] + "\nAnswer:"
 
+    def example_target(self, d):
+        return " " + d["answer"]          # doc_to_target (tasks/gsm8k.py)
+
     def score(self, d, text):
         gold = _gsm8k_extract(d["answer"])
         return {"acc": float(gold != _GSM8K_INVALID and
@@ -1186,6 +1204,9 @@ class Unscramble(GenerationTask):
 
     def context(self, d):
         return d["context"]
+
+    def example_target(self, d):
+        return d["completion"]
 
     def score(self, d, text):
         return {"acc": float(text == d["completion"])}
@@ -1446,6 +1467,9 @@ class DROP(GenerationTask):
     def context(self, d):
         return (f"Passage: {d['passage']}\nQuestion: {d['question']}\n"
                 "Answer:")
+
+    def example_target(self, d):
+        return " " + ", ".join(d["answers"][0])   # doc_to_target
 
     def score(self, d, text):
         max_em = max_f1 = 0.0
@@ -1722,6 +1746,9 @@ class WMTTranslation(GenerationTask):
         src_lang = _LANG_NAMES.get(src_code, src_code)
         tgt_lang = _LANG_NAMES.get(tgt_code, tgt_code)
         return f"{src_lang} phrase: " + d["src"] + f"\n{tgt_lang} phrase:"
+
+    def example_target(self, d):
+        return " " + d["ref"]
 
     def metrics(self, docs, preds):
         import sacrebleu

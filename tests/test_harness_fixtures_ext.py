@@ -363,3 +363,41 @@ def test_mutual_ranking_metrics_synthetic():
                               gold=1)]
     res = task.evaluate(StubLM(), lambda s: np.zeros(1, np.int32))
     assert res["r@1"] == 0.0 and res["r@2"] == 1.0 and res["mrr"] == 0.5
+
+
+def test_fewshot_prefixes_protocol():
+    """fewshot sampling: k labeled examples joined by blank lines, the
+    current doc excluded (lm-eval base.py:278-307 fallback path)."""
+    from mxq_tpu.eval.harness import fewshot_prefixes
+    docs = [f"d{i}" for i in range(10)]
+    pres = fewshot_prefixes(docs, 2, lambda d: f"Q:{d} A:{d}")
+    assert len(pres) == 10
+    for i, p in enumerate(pres):
+        assert p.endswith("\n\n")
+        examples = p[:-2].split("\n\n")
+        assert len(examples) == 2
+        assert f"Q:d{i} A:d{i}" not in examples
+    assert fewshot_prefixes(docs, 0, str) == [""] * 10
+    # deterministic across calls (seeded rnd, evaluator.py:90)
+    assert pres == fewshot_prefixes(docs, 2, lambda d: f"Q:{d} A:{d}")
+
+
+def test_fewshot_zero_shot_only_tasks_raise():
+    from mxq_tpu.eval import harness
+
+    class StubLM:
+        def loglikelihood(self, reqs):
+            return [(0.0, False)] * len(reqs)
+    t = T.Blimp("adjunct_island")
+    t.pairs = lambda: [("good", "bad")]
+    harness.TASKS["_stub_blimp"] = t
+    try:
+        import numpy as _np
+        try:
+            harness.evaluate(StubLM(), lambda s: _np.zeros(1, _np.int32),
+                             ["_stub_blimp"], num_fewshot=2)
+            raise AssertionError("expected zero-shot-only RuntimeError")
+        except RuntimeError as e:
+            assert "zero-shot" in str(e)
+    finally:
+        del harness.TASKS["_stub_blimp"]
