@@ -169,6 +169,16 @@ def cmd_eval_tasks(args):
                                num_fewshot=args.num_fewshot)
     for r in results:
         print(json.dumps(r))
+    if args.table:
+        # evaluator.make_table analogue (lmeval.py:153): task | metric |
+        # value rows, markdown-ish
+        print(f"|{'task':<28}|{'metric':<18}|{'value':>10}|")
+        print(f"|{'-'*28}|{'-'*18}|{'-'*10}|")
+        for r in results:
+            for k, v in r.items():
+                if k in ("task", "n") or not isinstance(v, (int, float)):
+                    continue
+                print(f"|{r['task']:<28}|{k:<18}|{v:>10.4f}|")
 
 
 def cmd_train(args):
@@ -428,6 +438,8 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None)
     # lmeval.py:52 --num_fewshot analogue (0 = the reference default)
     p.add_argument("--num_fewshot", type=int, default=0)
+    # evaluator.make_table analogue (lmeval.py:153)
+    p.add_argument("--table", action="store_true")
     p.set_defaults(fn=cmd_eval_tasks)
 
     p = sub.add_parser("train")
