@@ -119,6 +119,32 @@ class MXQLM:
             out.append(float(sum(s for s, _ in scores)))
         return out
 
+    def generate_batch(self, ctxs: Sequence[np.ndarray],
+                       max_new_tokens: int = 64,
+                       eos_id: Optional[int] = None) -> list[np.ndarray]:
+        """Batched greedy continuation of many contexts through the serving
+        Engine (continuous batching, KV cache, pipelined decode) — the fast
+        path for generation-task evals. Greedy + same forward ⇒ identical
+        tokens to ``greedy_generate`` up to any stop sequence; callers trim
+        stop strings on the decoded text (over-generating past a stop and
+        trimming yields the same final text under greedy decoding)."""
+        from mxq_tpu.serving.engine import Engine, EngineConfig
+        if getattr(self, "_engine", None) is None:
+            # eval models are fake-quant pytrees: keep the cache bf16 so
+            # Engine generations match llama.forward exactly (the int8-KV
+            # real-quant cache is the serving deployment choice, not the
+            # eval protocol of the reference's HF generate)
+            self._engine = Engine(
+                self.params, self.cfg,
+                EngineConfig(num_slots=min(self.batch_size, 8),
+                             max_len=self.max_len, kv_quant=False,
+                             prefill_buckets=(128, 512, self.max_len)))
+        eng = self._engine
+        reqs = [eng.submit(np.asarray(c, np.int32), max_new_tokens,
+                           eos_token_id=eos_id) for c in ctxs]
+        eng.run()
+        return [np.asarray(r.generated, np.int32) for r in reqs]
+
     def greedy_generate(self, ctx: np.ndarray, max_new_tokens: int = 64,
                         stop_sequences: Sequence[Sequence[int]] = (),
                         eos_id: Optional[int] = None) -> np.ndarray:

@@ -1115,13 +1115,22 @@ class GenerationTask(_TaskBase):
         pres = fewshot_prefixes(
             docs, num_fewshot,
             lambda d: f"{self.context(d)}{self.example_target(d)}")
-        stop_toks = [np.asarray(
-            tok(s, add_special_tokens=False)["input_ids"], np.int32).tolist()
-            for s in self.stops]
+        ids = [tokenize(pre + self.context(d))
+               for d, pre in zip(docs, pres)]
+        if hasattr(lm, "generate_batch"):
+            # serving-Engine fast path: continuous batching over all docs;
+            # greedy ⇒ identical text after stop-string trimming
+            gens = lm.generate_batch(ids, self.max_gen,
+                                     eos_id=getattr(tok, "eos_token_id",
+                                                    None))
+        else:
+            stop_toks = [np.asarray(
+                tok(s, add_special_tokens=False)["input_ids"],
+                np.int32).tolist() for s in self.stops]
+            gens = [lm.greedy_generate(i, self.max_gen, stop_toks)
+                    for i in ids]
         preds = []
-        for d, pre in zip(docs, pres):
-            ids = tokenize(pre + self.context(d))
-            gen = lm.greedy_generate(ids, self.max_gen, stop_toks)
+        for gen in gens:
             text = tok.decode(gen, skip_special_tokens=True)
             for s in self.stops:
                 i = text.find(s)
@@ -1564,13 +1573,17 @@ class SQuAD2(_TaskBase):
         nl = np.asarray(tok("\n", add_special_tokens=False)["input_ids"],
                         np.int32).tolist()
         # generation + unanswerable loglikelihood per doc
-        unans = [(tokenize(self.context(d)), tokenize(" unanswerable"))
-                 for d in docs]
-        sc = lm.loglikelihood(unans)
+        ids = [tokenize(self.context(d)) for d in docs]
+        sc = lm.loglikelihood([(i, tokenize(" unanswerable"))
+                               for i in ids])
+        if hasattr(lm, "generate_batch"):
+            gens = lm.generate_batch(ids, self.max_gen,
+                                     eos_id=getattr(tok, "eos_token_id",
+                                                    None))
+        else:
+            gens = [lm.greedy_generate(i, self.max_gen, [nl]) for i in ids]
         rows = []
-        for d, (ll_un, _) in zip(docs, sc):
-            ids = tokenize(self.context(d))
-            gen = lm.greedy_generate(ids, self.max_gen, [nl])
+        for d, (ll_un, _), gen in zip(docs, sc, gens):
             text = tok.decode(gen, skip_special_tokens=True)
             i = text.find("\n")
             if i >= 0:
@@ -1687,10 +1700,16 @@ class QASPER(_TaskBase):
                     "tokenizer — pass tok= (cli: --tokenizer)")
             nl = np.asarray(tok("\n", add_special_tokens=False)
                             ["input_ids"], np.int32).tolist()
+            ids = [tokenize(self.context(d)) for d in frees]
+            if hasattr(lm, "generate_batch"):
+                gens = lm.generate_batch(ids, self.max_gen,
+                                         eos_id=getattr(
+                                             tok, "eos_token_id", None))
+            else:
+                gens = [lm.greedy_generate(i, self.max_gen, [nl])
+                        for i in ids]
             f1s = []
-            for d in frees:
-                gen = lm.greedy_generate(tokenize(self.context(d)),
-                                         self.max_gen, [nl])
+            for d, gen in zip(frees, gens):
                 text = tok.decode(gen, skip_special_tokens=True)
                 i = text.find("\n")
                 if i >= 0:

@@ -223,3 +223,23 @@ def test_length_bucketed_batching_order_and_economy():
     for r, g in zip(reqs, got):
         (s_one, _), = lm.loglikelihood([r])
         assert abs(s_one - g[0]) < 1e-4
+
+
+def test_generate_batch_matches_greedy_generate():
+    """The Engine-backed batched generation path (generation-task evals)
+    must produce the same greedy tokens as the re-forward loop."""
+    import jax
+    from mxq_tpu.models import llama
+    from mxq_tpu.eval import harness
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    lm = harness.MXQLM(params, cfg, batch_size=4, max_len=64)
+    ctxs = [np.array([1, 5, 9, 13], np.int32),
+            np.array([1, 7, 3], np.int32),
+            np.array([1, 2, 4, 6, 8], np.int32)]
+    batched = lm.generate_batch(ctxs, max_new_tokens=6)
+    for c, got in zip(ctxs, batched):
+        ref = lm.greedy_generate(c, 6)
+        np.testing.assert_array_equal(np.asarray(got)[:6],
+                                      np.asarray(ref)[:6])
