@@ -325,19 +325,25 @@ class MultipleChoiceTask:
                              tokenize(" " + ch.strip())))
             spans.append((start, len(reqs), d))
         scores = lm.loglikelihood(reqs)
-        acc = accn = 0
+        hits, hitsn = [], []
         preds = []                       # (doc, argmax pick) per document
         for start, end, d in spans:
             lls = [scores[k][0] for k in range(start, end)]
             lens = [max(len(c) + 1, 1) for c in d.choices]
             pick = int(np.argmax(lls))
             pickn = int(np.argmax([l / n for l, n in zip(lls, lens)]))
-            acc += pick == d.gold
-            accn += pickn == d.gold
+            hits.append(float(pick == d.gold))
+            hitsn.append(float(pickn == d.gold))
             preds.append((d, pick))
         n = max(len(spans), 1)
-        res = {"task": self.name, "acc": acc / n, "acc_norm": accn / n,
-               "n": n}
+        res = {"task": self.name, "acc": float(np.mean(hits)),
+               "acc_norm": float(np.mean(hitsn)), "n": n}
+        if n > 1:
+            # sample-stddev/sqrt(n), the reference's mean_stderr
+            # (metrics.py:24-25) shown as ± in make_table
+            res["acc_stderr"] = float(np.std(hits, ddof=1) / np.sqrt(n))
+            res["acc_norm_stderr"] = float(np.std(hitsn, ddof=1) /
+                                           np.sqrt(n))
         res.update(self._extra_metrics(preds))
         return res
 

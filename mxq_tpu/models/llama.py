@@ -548,6 +548,13 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
     head = params.get("lm_head")
     if head is None:
         logits = x @ params["embed_tokens"].T
+    elif type(head).__name__ == "PackedU4Linear":
+        # packed uniform-4b lm_head (serving option, EngineConfig
+        # .lm_head_bits=4): vocab-matmul weight bytes drop 4x (the
+        # reference never quantizes lm_head — modeling_llama_quant.py
+        # wraps only the decoder projections — so this is opt-in)
+        from mxq_tpu.ops import uniform4
+        logits = uniform4.u4_matmul(x, head)
     else:
         logits = x @ head
     return logits.astype(jnp.float32), new_caches

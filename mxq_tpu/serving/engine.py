@@ -71,6 +71,10 @@ class EngineConfig:
     # rate; the reference's a_bits=8 choice applied to the serving prefill
     # (ops/mxq_matmul.py A8 section). Decode is unaffected.
     prefill_a8: bool = False
+    # quantize lm_head to packed uniform-4b at engine init (4x fewer
+    # vocab-matmul weight bytes per decode step). 16 = off (the
+    # reference's choice: it never quantizes lm_head).
+    lm_head_bits: int = 16
 
 
 def sample_token(logits: jax.Array, key, greedy: bool, temperature: float,
@@ -169,6 +173,14 @@ class Engine:
     def __init__(self, params, cfg: llama.LlamaConfig,
                  ecfg: EngineConfig = EngineConfig()):
         self.params = params
+        if ecfg.lm_head_bits == 4 and not isinstance(
+                params.get("lm_head"), type(None)) and not hasattr(
+                params["lm_head"], "w"):
+            from mxq_tpu.ops import uniform4
+            # lm_head is stored [hidden, vocab] (x @ head);
+            # quantize_pack_u4 wants [O, K]
+            self.params = dict(params, lm_head=uniform4.quantize_pack_u4(
+                jnp.asarray(params["lm_head"]).T))
         if ecfg.prefill_a8:
             cfg = dataclasses.replace(cfg, prefill_act_bits=8)
         self.cfg = cfg
@@ -746,5 +758,12 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
                       "v_scale": commits(new_caches["v_scale"], vs)}
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
-    logits = (x @ head) if head is not None else (x @ params["embed_tokens"].T)
+    if head is None:
+        logits = x @ params["embed_tokens"].T
+    elif type(head).__name__ == "PackedU4Linear":
+        # packed uniform-4b lm_head (EngineConfig.lm_head_bits=4)
+        from mxq_tpu.ops import uniform4
+        logits = uniform4.u4_matmul(x, head)
+    else:
+        logits = x @ head
     return logits.astype(jnp.float32), new_caches

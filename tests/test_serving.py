@@ -680,3 +680,40 @@ class TestStackedInt8Attention:
                 q, kc[li], ks[li], vc[li], vs[li], positions)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-5, atol=1e-6, err_msg=str(li))
+
+
+class TestPackedLMHead:
+    def test_u4_lm_head_logit_parity_and_engine(self):
+        """EngineConfig.lm_head_bits=4 packs lm_head to uniform-4b; logits
+        must match the fake-quant-u4 dense head exactly, and generation
+        must match an engine running the same u4 head densely."""
+        from mxq_tpu.ops import uniform4
+        from mxq_tpu.serving.engine import Engine, EngineConfig
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(5))
+        x = jax.random.normal(jax.random.PRNGKey(6), (2, 3, cfg.hidden_size),
+                              jnp.float32).astype(jnp.bfloat16)
+
+        head = jnp.asarray(params["lm_head"])
+        packed = uniform4.quantize_pack_u4(head.T)
+        y_packed = uniform4.u4_matmul(x, packed)
+        y_dense = x @ uniform4.fake_quant_u4(head.T).T.astype(x.dtype)
+        np.testing.assert_allclose(np.asarray(y_packed, np.float32),
+                                   np.asarray(y_dense, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+        ecfg = EngineConfig(num_slots=2, max_len=32, prefill_buckets=(8,),
+                            kv_quant=False, lm_head_bits=4)
+        eng = Engine(params, cfg, ecfg)
+        assert hasattr(eng.params["lm_head"], "w")  # packed
+        prompts = [np.array([1, 5, 9], np.int32)]
+        req = eng.submit(prompts[0], max_new_tokens=4)
+        eng.run()
+        # oracle: dense forward with the fake-quant-u4 head
+        dense = dict(params, lm_head=uniform4.fake_quant_u4(
+            head.T).T.astype(head.dtype))
+        toks = list(prompts[0])
+        for _ in range(4):
+            logits, _ = llama.forward(dense, jnp.asarray([toks]), cfg)
+            toks.append(int(jnp.argmax(logits[0, -1])))
+        assert list(req.generated)[:4] == toks[len(prompts[0]):]
