@@ -201,6 +201,15 @@ def main(_retry=True):
         # the bf16 dense baseline keeps its bf16 cache either way.
         t_kv8 = bench_decode(cfg, params, kv_quant=True)
 
+        # detail row: opt-in packed uniform-4b lm_head
+        # (EngineConfig.lm_head_bits=4) — 4x fewer vocab-matmul weight
+        # bytes on top of the headline config
+        from mxq_tpu.ops import uniform4
+        params_u4h = dict(params, lm_head=uniform4.quantize_pack_u4(
+            jnp.asarray(params["lm_head"]).T))
+        t_kv8_u4h = bench_decode(cfg, params_u4h, kv_quant=True)
+        del params_u4h
+
         toks = BATCH / t_kv8
         speedup = t_bf16_32 / t_kv8
         print(json.dumps({
@@ -221,6 +230,8 @@ def main(_retry=True):
                         else v)
                     for k, v in layout_times.items()},
                 "t_step_mxq_kv8_ms": round(t_kv8 * 1e3, 3),
+                "t_step_mxq_kv8_u4head_ms": round(t_kv8_u4h * 1e3, 3),
+                "tok_s_chip_kv8_u4head": round(BATCH / t_kv8_u4h, 1),
                 # the r1/r2 protocol row (bf16 KV cache), for comparability
                 "t_step_mxq_bf16kv_ms": round(t_mxq * 1e3, 3),
                 "tok_s_chip_bf16kv": round(BATCH / t_mxq, 1),

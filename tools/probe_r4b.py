@@ -28,8 +28,13 @@ def phase0():
 
 
 def phase1():
+    # L=4 keeps the probe's 5 cache replicas (inputs + aliased-output
+    # copies at this standalone jit boundary + the .at[].set reference)
+    # under HBM; the production step has NO such copies (zero cache-sized
+    # copies in the compiled HLO — see docs/RESULTS.md r4) so full-step
+    # timing (phase2) is the ground truth, not this micro.
     from mxq_tpu.ops import attn_int8
-    L, b, h, s, d = 32, 8, 32, 2048, 128
+    L, b, h, s, d = 4, 8, 32, 2048, 128
     ks_ = jax.random.split(jax.random.PRNGKey(0), 7)
     kc = jax.random.randint(ks_[1], (L, b, h, s, d), -127, 128, jnp.int8)
     vc = jax.random.randint(ks_[2], (L, b, h, s, d), -127, 128, jnp.int8)
@@ -63,28 +68,12 @@ def phase1():
     nbad = int(jnp.sum((kc2 != kc_ref).astype(jnp.int32)))
     print(f"phase1: code-write mismatches = {nbad}", flush=True)
 
-    def timeit(f, n=50):
-        f().block_until_ready()
-        t0 = time.time()
-        o = None
-        for _ in range(n):
-            o = f()
-        o.block_until_ready()
-        return (time.time() - t0) / n * 1e6
-
-    t_fused = timeit(lambda: fn(q, kc, ks, vc, vs, kcur, kscur, vcur,
-                                vscur, jnp.int32(1), positions,
-                                interpret=False)[0])
-    view = jax.jit(lambda: attn_int8.int8_decode_attention_cur(
-        q, jax.lax.dynamic_index_in_dim(kc, 1, 0, keepdims=False),
-        jax.lax.dynamic_index_in_dim(ks, 1, 0, keepdims=False),
-        jax.lax.dynamic_index_in_dim(vc, 1, 0, keepdims=False),
-        jax.lax.dynamic_index_in_dim(vs, 1, 0, keepdims=False),
-        kcur, kscur, vcur, vscur, positions))
-    t_view = timeit(view)
-    print(f"phase1: fused {t_fused:.1f} us/layer vs layer-view {t_view:.1f} "
-          "us/layer (view EXCLUDES the code-commit cost the fused path "
-          "absorbs)", flush=True)
+    # No standalone timing loop here: at this jit boundary XLA inserts
+    # defensive copies of the full stacks for the aliased outputs (the
+    # production step, with donated caches, has ZERO such copies — checked
+    # in the compiled HLO), so standalone us/call would only measure copy
+    # overhead the real path doesn't pay. phase2's full-step time is the
+    # ground truth.
 
 
 def phase2(depth):
