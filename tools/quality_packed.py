@@ -141,6 +141,15 @@ def main():
     finally:
         packfmt.SCALE_CODE_BITS, packfmt.SCALE_CODE_MAX = saved
 
+    # opt-in packed uniform-4b lm_head (EngineConfig.lm_head_bits=4):
+    # decoder linears at reference PTQ semantics + u4 head, so the row
+    # isolates what quantizing the head costs on top of the W2.8 weights
+    from mxq_tpu.ops import uniform4
+    head = jnp.asarray(params["lm_head"])
+    variants["u4-head"] = dict(
+        variants["ref-ptq"],
+        lm_head=uniform4.fake_quant_u4(head.T).T.astype(head.dtype))
+
     print(f"\n{'variant':<12} {'ppl':>10} {'vs fp':>8}")
     base = None
     for name, p in variants.items():
