@@ -338,6 +338,7 @@ def cmd_serve(args):
         e = eng.Engine(params, cfg, eng.EngineConfig(
             num_slots=args.slots, max_len=args.max_len,
             kv_quant=args.kv_bits < 32, prefill_a8=args.prefill_a8,
+            lm_head_bits=args.lm_head_bits,
             greedy=args.temperature == 0.0,
             temperature=args.temperature or 1.0,
             top_k=args.top_k, top_p=args.top_p, seed=args.seed))
@@ -491,6 +492,8 @@ def main(argv=None):
     p.add_argument("--requests", type=int, default=8)
     p.add_argument("--prompt_len", type=int, default=8)
     p.add_argument("--prefill_a8", action="store_true")
+    # packed uniform-4b lm_head (EngineConfig.lm_head_bits; 16 = off)
+    p.add_argument("--lm_head_bits", type=int, default=16)
     p.add_argument("--temperature", type=float, default=0.0,
                    help="0 = greedy; >0 samples with top_k/top_p")
     p.add_argument("--top_k", type=int, default=0)
