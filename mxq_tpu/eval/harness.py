@@ -263,6 +263,19 @@ class CachingLM:
             self._put(key, hit)
         return hit
 
+    def generate_batch(self, ctxs, max_new_tokens: int = 64, eos_id=None):
+        keys = [self._key(f"genb:{max_new_tokens}:{eos_id}", c)
+                for c in ctxs]
+        out = [self._get(k) for k in keys]
+        missing = [i for i, v in enumerate(out) if v is None]
+        if missing:
+            fresh = self.lm.generate_batch([ctxs[i] for i in missing],
+                                           max_new_tokens, eos_id)
+            for i, v in zip(missing, fresh):
+                out[i] = np.asarray(v)
+                self._put(keys[i], out[i])
+        return out
+
     def __getattr__(self, name):
         return getattr(self.lm, name)
 
