@@ -162,8 +162,13 @@ def cmd_eval_tasks(args):
     if tok is None:
         print("eval-tasks requires --tokenizer", file=sys.stderr)
         sys.exit(2)
-    lm = harness.MXQLM(params, cfg, batch_size=args.batch_size)
-    tokenize = lambda s: np.asarray(tok(s)["input_ids"], np.int32)
+    # reference protocol: pieces are encoded WITHOUT special tokens and
+    # the scorer prefixes bos to the context only (continuations never
+    # carry one; empty contexts become [bos] — lm-eval base.py:195-201)
+    lm = harness.MXQLM(params, cfg, batch_size=args.batch_size,
+                       bos_id=tok.bos_token_id)
+    tokenize = lambda s: np.asarray(
+        tok(s, add_special_tokens=False)["input_ids"], np.int32)
     results = harness.evaluate(lm, tokenize, args.tasks.split(","),
                                limit=args.limit, tok=tok,
                                num_fewshot=args.num_fewshot)

@@ -35,11 +35,19 @@ class MXQLM:
     lm_eval's AutoCausalLM, huggingface.py:378-420)."""
 
     def __init__(self, params, cfg: llama.LlamaConfig, batch_size: int = 8,
-                 max_len: int = 2048):
+                 max_len: int = 2048, bos_id: Optional[int] = None):
+        """``bos_id``: when set, every scored sequence is prefixed with
+        this token and the caller should tokenize WITHOUT special tokens
+        (cli does). This reproduces the reference protocol: contexts get
+        the model's start token, continuations never do, and an empty
+        context becomes ``[bos]`` — the same role as lm-eval's ``""`` ->
+        ``[eot]`` prefix (base.py:195-201). Without it (None), sequences
+        are scored exactly as tokenized."""
         self.params = params
         self.cfg = cfg
         self.batch_size = batch_size
         self.max_len = max_len
+        self.bos_id = bos_id
         self._score = jax.jit(self._score_impl, static_argnames=())
 
     def _score_impl(self, ids, cont_mask):
@@ -75,17 +83,21 @@ class MXQLM:
         """
         out: list[Optional[tuple[float, bool]]] = [None] * len(requests)
         bs = self.batch_size
+        extra = 1 if self.bos_id is not None else 0
         order = sorted(range(len(requests)),
                        key=lambda i: len(requests[i][0]) + len(requests[i][1]))
         for i in range(0, len(order), bs):
             idxs = order[i:i + bs]
             t_pad = max(len(requests[j][0]) + len(requests[j][1])
-                        for j in idxs)
+                        for j in idxs) + extra
             t_pad = min(_round_pow2(max(t_pad, 2)), self.max_len)
             ids = np.zeros((bs, t_pad), np.int32)
             mask = np.zeros((bs, t_pad), np.int32)
             for row, j in enumerate(idxs):
                 ctx, cont = requests[j]
+                if self.bos_id is not None:
+                    ctx = np.concatenate([[self.bos_id],
+                                          np.asarray(ctx, np.int64)])
                 seq = np.concatenate([ctx, cont])[-t_pad:]
                 n_cont = min(len(cont), len(seq))
                 ids[row, : len(seq)] = seq
@@ -140,6 +152,10 @@ class MXQLM:
                              max_len=self.max_len, kv_quant=False,
                              prefill_buckets=(128, 512, self.max_len)))
         eng = self._engine
+        if self.bos_id is not None:
+            ctxs = [np.concatenate([[self.bos_id],
+                                    np.asarray(c, np.int64)])
+                    for c in ctxs]
         reqs = [eng.submit(np.asarray(c, np.int32), max_new_tokens,
                            eos_token_id=eos_id) for c in ctxs]
         eng.run()
@@ -153,6 +169,8 @@ class MXQLM:
         Engine is the fast path; this is the simple reference used for eval
         protocols."""
         toks = list(np.asarray(ctx).tolist())
+        if self.bos_id is not None:
+            toks = [self.bos_id] + toks
         start = len(toks)
         for _ in range(max_new_tokens):
             t_pad = min(_round_pow2(len(toks)), self.max_len)
@@ -1327,15 +1345,17 @@ def make_lm_eval_model(params, cfg: llama.LlamaConfig, tokenizer,
     installed (pip package ``lm-eval``); raises ImportError otherwise."""
     from lm_eval.api.model import LM  # type: ignore
 
-    inner = MXQLM(params, cfg, batch_size)
+    inner = MXQLM(params, cfg, batch_size,
+                  bos_id=getattr(tokenizer, "bos_token_id", None))
 
     class _Wrapped(LM):
         def loglikelihood(self, requests):
             reqs = []
+            enc = lambda s: np.asarray(      # noqa: E731
+                tokenizer(s, add_special_tokens=False)["input_ids"])
             for r in requests:
                 ctx, cont = r.args
-                reqs.append((np.asarray(tokenizer(ctx)["input_ids"]),
-                             np.asarray(tokenizer(cont)["input_ids"])))
+                reqs.append((enc(ctx), enc(cont)))
             return inner.loglikelihood(reqs)
 
         def loglikelihood_rolling(self, requests):

@@ -243,3 +243,33 @@ def test_generate_batch_matches_greedy_generate():
         ref = lm.greedy_generate(c, 6)
         np.testing.assert_array_equal(np.asarray(got)[:6],
                                       np.asarray(ref)[:6])
+
+
+def test_bos_id_protocol():
+    """With bos_id set, contexts get the prefix token (empty ctx == [bos],
+    so every continuation token is conditioned and scored) and scores
+    equal a manual forward over [bos] + ctx + cont."""
+    import jax
+    import jax.numpy as jnp
+    from mxq_tpu.models import llama
+    from mxq_tpu.eval import harness
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(cfg, jax.random.PRNGKey(7))
+    lm = harness.MXQLM(params, cfg, batch_size=2, max_len=64, bos_id=1)
+    ctx = np.array([5, 9], np.int64)
+    cont = np.array([11, 3], np.int64)
+    (s, _), (s_empty, _) = lm.loglikelihood(
+        [(ctx, cont), (np.zeros(0, np.int64), cont)])
+
+    def manual(seq, n_cont):
+        logits, _ = llama.forward(params, jnp.asarray([seq]), cfg)
+        logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), -1)
+        tgt = np.asarray(seq)[1:]
+        lls = [float(logp[t, tgt[t]]) for t in range(len(tgt))]
+        return sum(lls[-n_cont:])
+
+    assert abs(s - manual([1, 5, 9, 11, 3], 2)) < 1e-3
+    # empty context: both continuation tokens still scored (vs only one
+    # without the prefix)
+    assert abs(s_empty - manual([1, 11, 3], 2)) < 1e-3
