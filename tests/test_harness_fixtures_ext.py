@@ -401,3 +401,91 @@ def test_fewshot_zero_shot_only_tasks_raise():
             assert "zero-shot" in str(e)
     finally:
         del harness.TASKS["_stub_blimp"]
+
+
+class _ScriptedLM:
+    """Stub LM returning scripted (ll, is_greedy) tuples in request order."""
+
+    def __init__(self, scores):
+        self.scores = list(scores)
+
+    def loglikelihood(self, reqs):
+        assert len(reqs) == len(self.scores), (len(reqs), len(self.scores))
+        return self.scores
+
+
+def _tok(s):
+    return np.zeros(2, np.int32)
+
+
+def test_mctaco_grouped_em_and_f1():
+    """em groups by (sentence, question): a question counts only if ALL its
+    candidate answers are classified correctly (mc_taco.py exact_match)."""
+    t = T.MCTACO()
+    t.docs = lambda: [
+        dict(ctx="c1", label=1, qid="q1"),   # yes -> pred yes (correct)
+        dict(ctx="c2", label=0, qid="q1"),   # no  -> pred yes (WRONG)
+        dict(ctx="c3", label=1, qid="q2"),   # yes -> pred yes (correct)
+    ]
+    # (ll_no, ll_yes) per doc: yes>no, yes>no, yes>no
+    lm = _ScriptedLM([(-2.0, 0), (-1.0, 0)] * 3)
+    res = t.evaluate(lm, _tok)
+    assert res["em"] == 0.5          # q1 has one wrong -> only q2 exact
+    # f1 per question over positives: q1 gp=1 pp=2 tp=1 -> p=.5 r=1
+    # f1=2/3; q2 gp=pp=tp=1 -> f1=1; mean = 5/6
+    assert abs(res["f1"] - (2 / 3 + 1.0) / 2) < 1e-9
+
+
+def test_multirc_acc_all_grouping():
+    """acc counts a QUESTION correct only if every answer row for it is
+    judged correctly (metrics.acc_all)."""
+    t = T.MultiRC()
+    t.docs = lambda: [
+        dict(ctx="c", answer="a1", label=1, qid=(0, 0)),
+        dict(ctx="c", answer="a2", label=0, qid=(0, 0)),
+        dict(ctx="c", answer="b1", label=1, qid=(0, 1)),
+    ]
+    # (ll_true, ll_false) per doc: pred True, pred True(wrong), pred True
+    lm = _ScriptedLM([(-1.0, 0), (-2.0, 0)] * 3)
+    res = t.evaluate(lm, _tok)
+    assert res["acc"] == 0.5
+
+
+def test_record_picks_max_ll_entity():
+    t = T.ReCoRD()
+    t.docs = lambda: [dict(ctx="c", query="X @placeholder Y",
+                           entities=["Alice", "Bob"], answers=["Bob"])]
+    lm = _ScriptedLM([(-5.0, 0), (-1.0, 0)])    # Bob scores higher
+    res = t.evaluate(lm, _tok)
+    assert res["em"] == 1.0 and res["f1"] == 1.0
+    lm = _ScriptedLM([(-1.0, 0), (-5.0, 0)])    # Alice picked -> wrong
+    res = t.evaluate(lm, _tok)
+    assert res["em"] == 0.0
+
+
+def test_ethics_grouped_em():
+    """deontology/justice em: all 4 consecutive rows of a scenario group
+    must be classified correctly (hendrycks_ethics 'em')."""
+    docs = T.EthicsJustice.convert(
+        [dict(scenario=f"s{i}", label=i % 2) for i in range(8)])
+    task = T.EthicsJustice()
+    task.docs = lambda: docs
+    # MC scoring: 2 requests per doc (unreasonable, reasonable).
+    # Docs alternate gold 0/1; make all predictions gold=1 ("reasonable"):
+    # evens (gold=0 unreasonable) are wrong -> every group of 4 has wrongs
+    lm = _ScriptedLM([(-2.0, 0), (-1.0, 0)] * 8)
+    res = task.evaluate(lm, _tok)
+    assert res["acc"] == 0.5 and res["em"] == 0.0
+
+
+def test_utilitarianism_original_rating_protocol():
+    """20 lls per doc; correct iff first activity's argmax rating is
+    higher (ties broken by raw ll) — hendrycks_ethics.py:262-286."""
+    t = T.EthicsUtilitarianismOriginal()
+    t.docs = lambda: [("A", "B")]
+    lls_a = [(-10.0 + (1.0 if i == 7 else 0.0), 0) for i in range(10)]
+    lls_b = [(-10.0 + (1.0 if i == 3 else 0.0), 0) for i in range(10)]
+    res = t.evaluate(_ScriptedLM(lls_a + lls_b), _tok)
+    assert res["acc"] == 1.0          # rating 8 > rating 4
+    res = t.evaluate(_ScriptedLM(lls_b + lls_a), _tok)
+    assert res["acc"] == 0.0
