@@ -345,9 +345,11 @@ class MultipleChoiceTask:
             raise RuntimeError(f"task {self.name!r} produced zero documents")
         if limit:
             docs = docs[:limit]
+        pool = getattr(self, "fewshot_docs", lambda: None)() \
+            if num_fewshot else None
         prefixes = fewshot_prefixes(
             docs, num_fewshot,
-            lambda d: f"{d.context} {d.choices[d.gold]}")
+            lambda d: f"{d.context} {d.choices[d.gold]}", pool=pool)
         reqs, spans = [], []
         for d, pre in zip(docs, prefixes):
             start = len(reqs)
@@ -393,23 +395,29 @@ def _hf_docs(loader):
 
 
 def fewshot_prefixes(docs: list, num_fewshot: int,
-                     example: Callable) -> list[str]:
+                     example: Callable, pool: Optional[list] = None
+                     ) -> list[str]:
     """Per-document few-shot prefix strings: ``num_fewshot`` labeled
-    examples sampled from the evaluation docs themselves (excluding the
-    current doc), joined by blank lines — the reference's
-    fewshot_context fallback path for tasks without separate training
-    docs (lm-eval base.py:278-307, rnd seeded per evaluator.py:90).
-    Returns "" for every doc when num_fewshot == 0."""
+    examples joined by blank lines (lm-eval base.py:278-307, rnd seeded
+    per evaluator.py:90). With ``pool`` (a separate example set, e.g.
+    MMLU's dev split — the reference's training-docs path) examples are
+    sampled from it directly; otherwise they come from the evaluation
+    docs themselves, excluding the current doc (the reference's fallback
+    for tasks without training docs). "" for every doc at num_fewshot=0."""
     if not num_fewshot:
         return [""] * len(docs)
     import random as _random
     rnd = _random.Random(42)
     out = []
     for i in range(len(docs)):
-        pool = rnd.sample(range(len(docs)), min(num_fewshot + 1,
-                                                len(docs)))
-        pool = [j for j in pool if j != i][:num_fewshot]
-        out.append("\n\n".join(example(docs[j]) for j in pool) + "\n\n")
+        if pool is not None:
+            picks = [pool[j] for j in rnd.sample(
+                range(len(pool)), min(num_fewshot, len(pool)))]
+        else:
+            idxs = rnd.sample(range(len(docs)), min(num_fewshot + 1,
+                                                    len(docs)))
+            picks = [docs[j] for j in idxs if j != i][:num_fewshot]
+        out.append("\n\n".join(example(d) for d in picks) + "\n\n")
     return out
 
 
@@ -870,6 +878,15 @@ class MMLU(MultipleChoiceTask):
             from datasets import load_dataset
             return self.convert(load_dataset(
                 "cais/mmlu", self.subject, split="test"))
+        return _hf_docs(load)
+
+    def fewshot_docs(self):
+        """5-shot examples come from the DEV split, like the reference
+        (hendrycks_test.py:157-161 uses dev, not sampled test docs)."""
+        def load():
+            from datasets import load_dataset
+            return self.convert(load_dataset(
+                "cais/mmlu", self.subject, split="dev"))
         return _hf_docs(load)
 
 

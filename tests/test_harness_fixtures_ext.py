@@ -489,3 +489,16 @@ def test_utilitarianism_original_rating_protocol():
     assert res["acc"] == 1.0          # rating 8 > rating 4
     res = t.evaluate(_ScriptedLM(lls_b + lls_a), _tok)
     assert res["acc"] == 0.0
+
+
+def test_fewshot_pool_overrides_eval_docs():
+    """With a separate example pool (MMLU dev split), prefixes come from
+    the pool, not the eval docs (hendrycks_test.py:157-161)."""
+    from mxq_tpu.eval.harness import fewshot_prefixes
+    docs = [f"eval{i}" for i in range(4)]
+    pool = [f"dev{i}" for i in range(5)]
+    pres = fewshot_prefixes(docs, 2, lambda d: d, pool=pool)
+    for p in pres:
+        parts = p[:-2].split("\n\n")
+        assert len(parts) == 2
+        assert all(x.startswith("dev") for x in parts)
