@@ -13,12 +13,33 @@ decode (per-layer cost is depth-independent).
 import json
 import sys
 import os
+import threading
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _arm_watchdog(seconds: float, stage: str):
+    """Emit the JSON line and hard-exit if the stage never completes.
+
+    The tunneled TPU's relay can wedge so that device->host transfers hang
+    forever (docs/RESULTS.md r4 incident) — a silently hung bench records
+    NOTHING for the round, so a deadline that still emits a parseable
+    error line is strictly better. Cancel on success."""
+    def fire():
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_chip_7b_mxq",
+            "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+            "error": f"watchdog: stage {stage!r} exceeded {seconds:.0f}s "
+                     "(TPU relay wedge?)"}), flush=True)
+        os._exit(2)
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 from mxq_tpu.models import llama
 from mxq_tpu import packfmt
@@ -173,6 +194,13 @@ def autotune_layout(key):
 
 def main(_retry=True):
     try:
+        # stage 1: a tiny d2h transfer proves the relay is alive (5 min —
+        # generous for a cold backend) before committing to the long run
+        wd = _arm_watchdog(300, "relay-sanity")
+        _ = float(jnp.sum(jnp.ones((8, 128))))
+        wd.cancel()
+        # stage 2: the whole bench must land inside the driver's patience
+        wd = _arm_watchdog(2400, "full-bench")
         key = jax.random.PRNGKey(0)
         from mxq_tpu.ops import mxq_matmul as mm
         layout, layout_times = autotune_layout(key)
@@ -240,6 +268,7 @@ def main(_retry=True):
                                          for k, v in t_dense.items()},
             },
         }))
+        wd.cancel()
     except Exception as e:  # noqa: BLE001 — bench must always emit a JSON line
         if _retry:
             # transient device-state failures (e.g. stale HBM from a killed
