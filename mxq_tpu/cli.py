@@ -322,9 +322,9 @@ def cmd_serve(args):
     if args.paged and args.spec_decode:
         raise SystemExit("--spec_decode applies to the slot engine "
                          "(drop --paged)")
-    if args.paged and (args.kv_bits < 32 or args.prefill_a8):
-        print("note: --paged uses bf16 KV pages; --kv_bits/--prefill_a8 "
-              "apply to the slot engine only", flush=True)
+    if args.paged and args.prefill_a8:
+        print("note: --prefill_a8 applies to the slot engine only",
+              flush=True)
     cfg, params = _load_model(args, w_bits=args.w_bits)
     if args.packed:
         params = llama.quantize_params_packed(params, cfg)
@@ -333,9 +333,14 @@ def cmd_serve(args):
         ps = 64
         # +1: page 0 is the reserved null page (PagedPool.create)
         pages = args.slots * (-(-args.max_len // ps)) + 1
+        if args.kv_bits == 8:
+            # the int8 pool pins page_size=128 (attn_int8.PAGE_INT8)
+            ps = 128
+            pages = args.slots * (-(-args.max_len // ps)) + 1
         e = PagedEngine(params, cfg, num_slots=args.slots,
                         total_pages=pages,
                         page_size=ps, max_len=args.max_len,
+                        kv_bits=args.kv_bits,
                         greedy=args.temperature == 0.0,
                         temperature=args.temperature or 1.0,
                         top_k=args.top_k, top_p=args.top_p, seed=args.seed)

@@ -498,3 +498,140 @@ def int8_decode_attention_reference(q, k_codes, k_scale, v_codes, v_scale,
     st = jnp.where(mask, st, NEG)
     p = jax.nn.softmax(st, axis=-1)
     return jnp.einsum("bhs,bhsd->bhd", p, v)
+
+
+# ---------------------------------------------------------------------------
+# Paged int8 KV decode attention
+# ---------------------------------------------------------------------------
+#
+# The paged pool stores quantized pages:
+#   k/v pages : [KVH, P, PAGE, D] int8     (PAGE = 128, see below)
+#   scales    : [KVH, P, 1, PAGE] bf16     (per-(head, token) like the dense
+#                                           int8 cache; group == head_dim)
+# One grid step attends one (batch, kv-head, page); pages arrive via
+# scalar-prefetched page-table index maps (the same addressing idea as the
+# upstream bf16 paged_attention kernel) and a flash-style running
+# (max, sum, acc) in VMEM scratch folds pages together — so HBM reads stay
+# int8 and nothing materializes a gathered [S, D] cache.
+#
+# PAGE is pinned to 128: the scale block's trailing dims must be Mosaic
+# tiles or full dims ((1, PAGE) works only at PAGE=128), and 128-row int8
+# code blocks are (32, 128)-tile aligned.
+
+PAGE_INT8 = 128
+
+
+def _kernel_paged(len_ref, tbl_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+                  o_ref, m_ref, l_ref, acc_ref, *, scale, npages):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[b]
+    base = p * PAGE_INT8
+    q = q_ref[0, 0]                                    # [G8, D] bf16
+    kc = kc_ref[0, 0]                                  # [PAGE, D] int8
+    ks = ks_ref[0, 0]                                  # [1, PAGE] bf16
+    st = jax.lax.dot_general(
+        q, kc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [G8, PAGE]
+    st = st * (ks.astype(jnp.float32) * scale)
+    rows = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+    valid = (base + rows) < length
+    st = jnp.where(valid, st, NEG)
+
+    m_old = m_ref[...]                                 # [G8, 1]
+    m_new = jnp.maximum(m_old, jnp.max(st, axis=1, keepdims=True))
+    # exp(st - m_new) would be exp(0)=1 for fully-masked rows when m_new
+    # is still NEG — gate on the mask instead of the logit value
+    pexp = jnp.where(valid, jnp.exp(st - m_new), 0.0)  # [G8, PAGE]
+    alpha = jnp.exp(m_old - m_new)                     # [G8, 1]
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+    pv = (pexp * vs_ref[0, 0].astype(jnp.float32)).astype(jnp.bfloat16)
+    pvv = jax.lax.dot_general(
+        pv, vc_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [G8, D]
+    acc_ref[...] = acc_ref[...] * alpha + pvv
+    m_ref[...] = m_new
+
+    @pl.when(p == npages - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[...] /
+                       jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _paged_attn_call(q, kc, ks, vc, vs, lengths, tables, *, interpret):
+    b, hkv, g8, d = q.shape
+    _, _, page, _ = kc.shape
+    npages = tables.shape[1]
+    grid = (b, hkv, npages)
+    scale = 1.0 / float(np.sqrt(d))
+
+    def page_spec(shp2):
+        return pl.BlockSpec(
+            (1, 1) + shp2,
+            lambda bi, hi, p, lens, tbl: (hi, tbl[bi, p], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,       # lengths, tables
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, g8, d),
+                         lambda bi, hi, p, lens, tbl: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),     # q
+            page_spec((page, d)),                      # k codes
+            page_spec((1, page)),                      # k scales
+            page_spec((page, d)),                      # v codes
+            page_spec((1, page)),                      # v scales
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, g8, d), lambda bi, hi, p, lens, tbl: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((g8, 1), jnp.float32),          # running max
+            pltpu.VMEM((g8, 1), jnp.float32),          # running denom
+            pltpu.VMEM((g8, d), jnp.float32),          # running ctx
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_paged, scale=scale, npages=npages),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g8, d), jnp.float32),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), tables.astype(jnp.int32),
+      q, kc, ks, vc, vs)
+
+
+def int8_paged_decode_attention(q, k_pages, k_scales, v_pages, v_scales,
+                                lengths, page_tables,
+                                interpret: bool | None = None) -> jax.Array:
+    """Decode attention over one layer's QUANTIZED paged pool.
+
+    q:           [B, H_q, D]
+    k/v_pages:   [KVH, P, PAGE, D] int8
+    k/v_scales:  [KVH, P, 1, PAGE] bf16
+    lengths:     [B] int32 — valid tokens per sequence (current row
+                 already written)
+    page_tables: [B, PPS] int32 — page ids per sequence (null page 0 for
+                 slots beyond the sequence; masked by ``lengths``)
+    Returns [B, H_q, D] f32.
+    """
+    if interpret is None:
+        interpret = _on_cpu()
+    b, hq, d = q.shape
+    hkv = k_pages.shape[0]
+    g = hq // hkv
+    g8 = max(8, g)
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    if g8 != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
+    out = _paged_attn_call(qg, k_pages, k_scales, v_pages, v_scales,
+                           lengths, page_tables, interpret=interpret)
+    return out[:, :, :g, :].reshape(b, hq, d)

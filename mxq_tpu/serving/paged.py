@@ -41,16 +41,32 @@ class PagedPool:
     @classmethod
     def create(cls, cfg: llama.LlamaConfig, num_slots: int, total_pages: int,
                page_size: int = 64, max_len: int = 2048,
-               dtype=jnp.bfloat16) -> "PagedPool":
+               dtype=jnp.bfloat16, kv_bits: int = 32) -> "PagedPool":
         l, kvh, d = (cfg.num_hidden_layers, cfg.num_key_value_heads,
                      cfg.head_dim)
+        if kv_bits == 8:
+            from mxq_tpu.ops import attn_int8
+            # the int8 paged-attention kernel pins the page size (Mosaic
+            # tiling of the [.., 1, PAGE] scale blocks — attn_int8.py)
+            page_size = attn_int8.PAGE_INT8
         # round UP: a non-multiple max_len must not silently shrink the
         # per-sequence capacity below max_len
         pages_per_seq = -(-max_len // page_size)
         shape = (l, kvh, total_pages, page_size, d)
+        if kv_bits == 8:
+            # quantized pool: int8 code pages + per-(head, token) bf16
+            # scales, the paged analogue of kvcache.init_quant_cache
+            sshape = (l, kvh, total_pages, 1, page_size)
+            k_pages = {"codes": jnp.zeros(shape, jnp.int8),
+                       "scales": jnp.zeros(sshape, jnp.bfloat16)}
+            v_pages = {"codes": jnp.zeros(shape, jnp.int8),
+                       "scales": jnp.zeros(sshape, jnp.bfloat16)}
+        else:
+            k_pages = jnp.zeros(shape, dtype)
+            v_pages = jnp.zeros(shape, dtype)
         return cls(
-            k_pages=jnp.zeros(shape, dtype),
-            v_pages=jnp.zeros(shape, dtype),
+            k_pages=k_pages,
+            v_pages=v_pages,
             page_size=page_size,
             page_tables=np.zeros((num_slots, pages_per_seq), np.int32),
             lengths=np.zeros(num_slots, np.int32),
@@ -86,7 +102,25 @@ def write_tokens(k_pages, v_pages, k_new, v_new, page_ids, offsets,
     b = k_new.shape[0]
     bidx = jnp.arange(b)
 
+    def quant(val):
+        # per-(slot, head) symmetric int8, same math as the dense int8
+        # cache (kvcache.quantize_kv, group == head_dim)
+        from mxq_tpu.serving import kvcache
+        codes, scales = kvcache.quantize_kv(val.astype(jnp.float32),
+                                            val.shape[-1])
+        return codes, scales[..., 0]                 # [B,KVH,D], [B,KVH]
+
     def wr(pages, val):
+        if isinstance(pages, dict):
+            codes, scales = quant(val)
+            return {"codes": pages["codes"].at[
+                        :, page_ids[bidx], offsets[bidx]].set(
+                        codes.transpose(1, 0, 2)),
+                    # advanced indices (page_ids, offsets) are separated
+                    # by the basic 0 -> result dims go FIRST: [B, KVH]
+                    "scales": pages["scales"].at[
+                        :, page_ids[bidx], 0, offsets[bidx]].set(
+                        scales.astype(jnp.bfloat16))}
         # pages [KVH, P, ps, D]; scatter [B] tokens at (h, page_ids[b],
         # offsets[b]) for all heads
         return pages.at[:, page_ids[bidx], offsets[bidx]].set(
@@ -102,10 +136,54 @@ def write_tokens(k_pages, v_pages, k_new, v_new, page_ids, offsets,
         # ms/step on 7B decode after removing it)
         # advanced indices (traced layer_idx, page_ids, offsets) are
         # non-adjacent, so the result dims go FIRST: updates are [B, KVH, D]
+        if isinstance(pages, dict):
+            codes, scales = quant(val)
+            return {"codes": pages["codes"].at[
+                        layer_idx, :, page_ids, offsets].set(codes),
+                    "scales": pages["scales"].at[
+                        layer_idx, :, page_ids, 0, offsets].set(
+                        scales.astype(jnp.bfloat16))}
         return pages.at[layer_idx, :, page_ids, offsets].set(
             val.astype(pages.dtype))
 
     return wr_stacked(k_pages, k_new), wr_stacked(v_pages, v_new)
+
+
+
+def _pool_codes(pages):
+    """The array carrying page geometry ([L, KVH, P, ps, D]) — the codes
+    for a quantized (dict) pool, the pages themselves otherwise."""
+    return pages["codes"] if isinstance(pages, dict) else pages
+
+
+def _scatter_quant(pages, buf, t, ps, dest_pages, offset=0):
+    """Quantize a prefill chunk (dense [L, 1, T+, KVH, D] cache, rows
+    [offset, offset+t)) and scatter codes + scales into ``dest_pages``."""
+    from mxq_tpu.serving import kvcache
+    l, kvh = buf.shape[0], buf.shape[3]
+    d = buf.shape[4]
+    x = jax.lax.dynamic_slice_in_dim(buf[:, 0], offset, t, axis=1)
+    codes, scales = kvcache.quantize_kv(x.astype(jnp.float32), d)
+    cc = codes.reshape(l, t // ps, ps, kvh, d).transpose(0, 3, 1, 2, 4)
+    ss = scales[..., 0].reshape(l, t // ps, ps, kvh).transpose(0, 3, 1, 2)
+    return {"codes": pages["codes"].at[:, :, dest_pages].set(
+                cc.astype(jnp.int8)),
+            "scales": pages["scales"].at[:, :, dest_pages, 0].set(
+                ss.astype(jnp.bfloat16))}
+
+
+def _gather_dense(pages, page_table, l, kvh, d, ps):
+    """Gather a slot's pages to a dense [L, 1, cap, KVH, D] bf16 cache
+    (dequantizing a dict pool)."""
+    cap = page_table.shape[0] * ps
+    if isinstance(pages, dict):
+        g = pages["codes"][:, :, page_table]        # [L, KVH, NP, ps, D]
+        s = pages["scales"][:, :, page_table, 0]    # [L, KVH, NP, ps]
+        dense = (g.astype(jnp.float32) *
+                 s.astype(jnp.float32)[..., None]).astype(jnp.bfloat16)
+    else:
+        dense = pages[:, :, page_table]
+    return dense.transpose(0, 2, 3, 1, 4).reshape(l, 1, cap, kvh, d)
 
 
 def paged_attend(q, k_pages_l, v_pages_l, lengths, page_indices,
@@ -115,6 +193,14 @@ def paged_attend(q, k_pages_l, v_pages_l, lengths, page_indices,
     CPU (also the correctness oracle). ``pages_per_compute_block`` defaults
     to the largest divisor of pages-per-sequence <= 8 — fatter blocks halve
     the kernel time (330 -> 167 us/layer at 8 slots x 512 tokens, measured)."""
+    if isinstance(k_pages_l, dict):
+        # quantized pool: the int8 paged-attention kernel (attn_int8.py)
+        # reads codes + scales straight from the pages
+        from mxq_tpu.ops import attn_int8
+        return attn_int8.int8_paged_decode_attention(
+            q, k_pages_l["codes"], k_pages_l["scales"],
+            v_pages_l["codes"], v_pages_l["scales"],
+            lengths, page_indices).astype(q.dtype)
     if pages_per_compute_block is None:
         pps = page_indices.shape[1]
         pages_per_compute_block = next(
@@ -205,8 +291,10 @@ def _paged_decode_one(params, k_pages, v_pages, tokens, positions, lengths,
 
         k_pages, v_pages = write_tokens(k_pages, v_pages, k[:, 0], v[:, 0],
                                         page_ids, offsets, layer_idx=idx)
-        kl = jax.lax.dynamic_index_in_dim(k_pages, idx, 0, keepdims=False)
-        vl = jax.lax.dynamic_index_in_dim(v_pages, idx, 0, keepdims=False)
+        view = lambda p: jax.tree.map(  # noqa: E731 — dict (int8) or array
+            lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0,
+                                                   keepdims=False), p)
+        kl, vl = view(k_pages), view(v_pages)
         ctx = paged_attend(q[:, 0], kl, vl, lengths, page_tables)
         ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
         x = x + llama.quant_linear(ctx, layer["o_proj"], cfg)
@@ -241,7 +329,7 @@ def paged_decode_chunk(params, k_pages, v_pages, chained, host_toks,
     (greedy, temperature, top_k, top_p) trace-time constants."""
     from mxq_tpu.serving.engine import sample_token
     b = chained.shape[0]
-    ps = k_pages.shape[3]
+    ps = _pool_codes(k_pages).shape[3]
     rows = jnp.arange(b)
     toks = jnp.where(use_chain, chained, host_toks)[:, None]
 
@@ -271,8 +359,11 @@ def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages, key,
     (first generated token — sampled per ``sample``, like the dense
     engine's prefill — k_pages, v_pages)."""
     t = ids.shape[1]
-    ps = k_pages.shape[3]
-    caches = llama.init_cache(cfg, 1, t, dtype=k_pages.dtype)
+    ps = _pool_codes(k_pages).shape[3]
+    caches = llama.init_cache(
+        cfg, 1, t,
+        dtype=jnp.bfloat16 if isinstance(k_pages, dict)
+        else k_pages.dtype)
     qpos = jnp.arange(t)[:, None]
     kpos = jnp.arange(t)[None, :]
     neg = jnp.finfo(jnp.float32).min
@@ -281,6 +372,8 @@ def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages, key,
                                    cache_pos=0, mask=mask)
     # caches: [L, 1, T, KVH, D] -> pages [L, KVH, T/ps, ps, D]
     def scatter(pages, buf):
+        if isinstance(pages, dict):
+            return _scatter_quant(pages, buf, t, ps, slot_pages)
         chunk = buf[:, 0].reshape(buf.shape[0], t // ps, ps,
                                   buf.shape[3], buf.shape[4])
         chunk = chunk.transpose(0, 3, 1, 2, 4)       # [L, KVH, T/ps, ps, D]
@@ -304,14 +397,11 @@ def paged_prefill_chunk(params, k_pages, v_pages, ids, length, offset,
     chunk's queries attend rows [0, offset) plus their own causal prefix,
     then the fresh chunk KV is scattered into ``chunk_pages``."""
     t = ids.shape[1]
-    l, kvh, _, ps, d = k_pages.shape
+    l, kvh, _, ps, d = _pool_codes(k_pages).shape
     cap = slot_page_table.shape[0] * ps
 
-    def to_dense(pages):
-        g = pages[:, :, slot_page_table]              # [L, KVH, NP, ps, D]
-        return g.transpose(0, 2, 3, 1, 4).reshape(l, 1, cap, kvh, d)
-
-    caches = {"k": to_dense(k_pages), "v": to_dense(v_pages)}
+    caches = {"k": _gather_dense(k_pages, slot_page_table, l, kvh, d, ps),
+              "v": _gather_dense(v_pages, slot_page_table, l, kvh, d, ps)}
     qpos = offset + jnp.arange(t)[:, None]
     kpos = jnp.arange(cap)[None, :]
     neg = jnp.finfo(jnp.float32).min
@@ -321,6 +411,9 @@ def paged_prefill_chunk(params, k_pages, v_pages, ids, length, offset,
                                    cache_pos=offset, mask=mask)
 
     def scatter(pages, buf):
+        if isinstance(pages, dict):
+            return _scatter_quant(pages, buf, t, ps, chunk_pages,
+                                  offset=offset)
         fresh = jax.lax.dynamic_slice_in_dim(buf[:, 0], offset, t, axis=1)
         chunk = fresh.reshape(l, t // ps, ps, kvh, d).transpose(0, 3, 1, 2, 4)
         return pages.at[:, :, chunk_pages].set(chunk.astype(pages.dtype))
@@ -346,7 +439,7 @@ class PagedEngine:
                  max_len: int = 2048, prefill_bucket: int = 128,
                  horizon: int = 8, greedy: bool = True,
                  temperature: float = 1.0, top_k: int = 0,
-                 top_p: float = 1.0, seed: int = 0):
+                 top_p: float = 1.0, seed: int = 0, kv_bits: int = 32):
         self.params = params
         self.cfg = cfg
         self.sample = (greedy, temperature, top_k, top_p)
@@ -354,7 +447,7 @@ class PagedEngine:
             jax.random.PRNGKey(seed))
         self._chunk_no = 0
         self.pool = PagedPool.create(cfg, num_slots, total_pages, page_size,
-                                     max_len)
+                                     max_len, kv_bits=kv_bits)
         self.num_slots = num_slots
         self.prefill_bucket = prefill_bucket
         self.horizon = horizon

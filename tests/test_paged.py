@@ -49,3 +49,88 @@ def test_paged_engine_multi_request_slot_reuse():
         assert r.generated[:3] == ref, i
     # all pages returned to the pool
     assert (e.pool.page_tables == 0).all()
+
+
+def test_int8_pool_write_and_attend_parity():
+    """Quantized-pool write + paged int8 attention vs a dense int8
+    attention reference over the gathered pages (both engines share
+    kvcache.quantize_kv semantics, so codes must agree exactly)."""
+    from mxq_tpu.serving import kvcache
+    from mxq_tpu.ops import attn_int8
+
+    kvh, d, b = 2, 32, 3
+    pool = paged.PagedPool.create(CFG, num_slots=b, total_pages=8,
+                                  max_len=256, kv_bits=8)
+    ps = pool.page_size
+    assert ps == attn_int8.PAGE_INT8
+    key = jax.random.PRNGKey(0)
+    kp, vp = pool.k_pages, pool.v_pages
+
+    # write 3 tokens per slot (layer-stacked path, like decode)
+    L = CFG.num_hidden_layers
+    hkv, dd = CFG.num_key_value_heads, CFG.head_dim
+    toks = []
+    for t in range(3):
+        kn = jax.random.normal(jax.random.fold_in(key, 2 * t),
+                               (b, hkv, dd), jnp.float32)
+        vn = jax.random.normal(jax.random.fold_in(key, 2 * t + 1),
+                               (b, hkv, dd), jnp.float32)
+        toks.append((kn, vn))
+        page_ids = jnp.full((b,), 1, jnp.int32) + jnp.arange(b)
+        offsets = jnp.full((b,), t, jnp.int32)
+        for idx in range(L):
+            kp, vp = paged.write_tokens(kp, vp, kn, vn, page_ids, offsets,
+                                        layer_idx=jnp.int32(idx))
+
+    # attend with the paged kernel on layer 0's view
+    view = lambda p: jax.tree.map(lambda a: a[0], p)   # noqa: E731
+    q = jax.random.normal(jax.random.fold_in(key, 99), (b, hkv, dd),
+                          jnp.float32)
+    tables = (jnp.arange(b)[:, None] + 1).astype(jnp.int32)   # 1 page/slot
+    lengths = jnp.full((b,), 3, jnp.int32)
+    out = paged.paged_attend(q, view(kp), view(vp), lengths, tables)
+
+    # dense int8 reference: quantize the same rows with the same math
+    kc = np.zeros((b, hkv, ps, dd), np.int8)
+    ks = np.zeros((b, hkv, ps), np.float32)
+    vc = np.zeros_like(kc)
+    vs = np.zeros_like(ks)
+    for t, (kn, vn) in enumerate(toks):
+        c, s = kvcache.quantize_kv(kn, dd)
+        kc[:, :, t] = np.asarray(c)
+        ks[:, :, t] = np.asarray(s[..., 0], np.float32)
+        c, s = kvcache.quantize_kv(vn, dd)
+        vc[:, :, t] = np.asarray(c)
+        vs[:, :, t] = np.asarray(s[..., 0], np.float32)
+    # pool codes must match the dense quantization bit-for-bit
+    kp0 = np.asarray(view(kp)["codes"])   # [KVH, P, ps, D]
+    for bi in range(b):
+        np.testing.assert_array_equal(kp0[:, 1 + bi, :3],
+                                      kc[bi, :, :3])
+    ref = attn_int8.int8_decode_attention_reference(
+        q, jnp.asarray(kc), jnp.asarray(ks, jnp.bfloat16),
+        jnp.asarray(vc), jnp.asarray(vs, jnp.bfloat16),
+        jnp.full((b,), 2, jnp.int32))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_paged_engine_int8_kv():
+    """PagedEngine with the quantized pool generates; first tokens match
+    the exact greedy reference (int8 KV can flip a low-margin argmax late
+    in the rollout, like the dense int8 engine)."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(0))
+    prompt = np.arange(5, dtype=np.int32) + 7
+    n_new = 5
+    ref = greedy_reference(params, CFG, prompt, n_new)
+    e = paged.PagedEngine(params, CFG, num_slots=2, total_pages=16,
+                          max_len=256, prefill_bucket=16, kv_bits=8)
+    assert e.pool.page_size == 128
+    req = e.submit(prompt, max_new_tokens=n_new)
+    e.run()
+    assert req.generated[:2] == ref[:2]
+    agree = sum(int(a == b) for a, b in zip(req.generated[:n_new], ref))
+    assert agree >= n_new - 1, (req.generated, ref)
+    # pages released
+    assert (e.pool.page_tables == 0).all()
