@@ -30,8 +30,46 @@ def packed_bytes(p):
             + p.qscale.size * 2 + p.qmin.size * 2 + p.smeta4.size * 4)
 
 
+def check_paged_int8():
+    """On-device parity of the paged int8 attention kernel (Mosaic tiling
+    of the scalar-prefetched page blocks + [.., 1, PAGE] scale blocks is
+    NOT exercised by interpret mode)."""
+    from mxq_tpu.ops import attn_int8 as A
+    B, HQ, HKV, D = 8, 32, 32, 128
+    P, PAGE, PPS = 13, A.PAGE_INT8, 4
+    ks_ = jax.random.split(jax.random.PRNGKey(7), 6)
+    q = jax.random.normal(ks_[0], (B, HQ, D), jnp.float32)
+    kp = jax.random.randint(ks_[1], (HKV, P, PAGE, D), -127, 128, jnp.int8)
+    vp = jax.random.randint(ks_[2], (HKV, P, PAGE, D), -127, 128, jnp.int8)
+    ksc = (jax.random.uniform(ks_[3], (HKV, P, 1, PAGE)) * 0.02
+           + 1e-3).astype(jnp.bfloat16)
+    vsc = (jax.random.uniform(ks_[4], (HKV, P, 1, PAGE)) * 0.02
+           + 1e-3).astype(jnp.bfloat16)
+    tables = jax.random.randint(ks_[5], (B, PPS), 1, P, jnp.int32)
+    lengths = (jnp.arange(B, dtype=jnp.int32) * 53 + 1) % (PPS * PAGE) + 1
+    out = A.int8_paged_decode_attention(q, kp, ksc, vp, vsc, lengths,
+                                        tables, interpret=False)
+    # reference: gather + dense int8 attention oracle
+    def gather(pages, scales):
+        kk = pages[:, tables].astype(jnp.float32) * \
+            scales[:, tables].transpose(0, 1, 2, 4, 3).astype(jnp.float32)
+        return kk.transpose(1, 0, 2, 3, 4).reshape(B, HKV, PPS * PAGE, D)
+    kd, vd = gather(kp, ksc), gather(vp, vsc)
+    st = jnp.einsum("bhd,bhsd->bhs", q, kd) / np.sqrt(D)
+    mask = jnp.arange(PPS * PAGE)[None, None, :] < lengths[:, None, None]
+    st = jnp.where(mask, st, -1e30)
+    pr = jax.nn.softmax(st, -1)
+    ref = jnp.einsum("bhs,bhsd->bhd", pr, vd)
+    rel = float(jnp.max(jnp.abs(out - ref)) /
+                (jnp.max(jnp.abs(ref)) + 1e-9))
+    status = "OK " if rel < 2e-2 else "BAD"
+    print(f"[{status}] paged-int8 attention: max-rel={rel:.3g} "
+          f"(B={B} HKV={HKV} pages={PPS}x{PAGE})")
+
+
 def main():
     print("devices:", jax.devices())
+    check_paged_int8()
     for (o, k) in [(4096, 4096), (11008, 4096), (4096, 11008)]:
         w = jax.random.normal(jax.random.PRNGKey(0), (o, k), jnp.float32)
         p = packfmt.quantize_pack(w, CFG)
