@@ -717,3 +717,42 @@ class TestPackedLMHead:
             logits, _ = llama.forward(dense, jnp.asarray([toks]), cfg)
             toks.append(int(jnp.argmax(logits[0, -1])))
         assert list(req.generated)[:4] == toks[len(prompts[0]):]
+
+    def test_paged_int8_kernel_parity(self):
+        """int8_paged_decode_attention vs gather-dequant-softmax oracle:
+        multi-page sequences, partial last pages, a null-page slot."""
+        from mxq_tpu.ops import attn_int8 as A
+        B, HQ, HKV, D = 3, 8, 4, 128
+        P, PAGE, PPS = 9, A.PAGE_INT8, 3
+        ks_ = jax.random.split(jax.random.PRNGKey(0), 6)
+        q = jax.random.normal(ks_[0], (B, HQ, D), jnp.float32)
+        kp = jax.random.randint(ks_[1], (HKV, P, PAGE, D), -127, 128,
+                                jnp.int8)
+        vp = jax.random.randint(ks_[2], (HKV, P, PAGE, D), -127, 128,
+                                jnp.int8)
+        ksc = (jax.random.uniform(ks_[3], (HKV, P, 1, PAGE)) * 0.02
+               + 1e-3).astype(jnp.bfloat16)
+        vsc = (jax.random.uniform(ks_[4], (HKV, P, 1, PAGE)) * 0.02
+               + 1e-3).astype(jnp.bfloat16)
+        tables = jnp.array([[1, 2, 3], [4, 5, 0], [6, 7, 8]], jnp.int32)
+        lengths = jnp.array([300, 129, 384], jnp.int32)
+        out = A.int8_paged_decode_attention(q, kp, ksc, vp, vsc, lengths,
+                                            tables)
+
+        def gather(pages, scales):
+            k = pages[:, tables].astype(jnp.float32) * scales[
+                :, tables].transpose(0, 1, 2, 4, 3).astype(jnp.float32)
+            return k.transpose(1, 0, 2, 3, 4).reshape(B, HKV, PPS * PAGE,
+                                                      D)
+        kd, vd = gather(kp, ksc), gather(vp, vsc)
+        rep = HQ // HKV
+        kd = jnp.repeat(kd, rep, axis=1)
+        vd = jnp.repeat(vd, rep, axis=1)
+        st = jnp.einsum("bhd,bhsd->bhs", q, kd) / np.sqrt(D)
+        mask = jnp.arange(PPS * PAGE)[None, None, :] < lengths[:, None,
+                                                              None]
+        st = jnp.where(mask, st, -1e30)
+        pr = jax.nn.softmax(st, -1)
+        ref = jnp.einsum("bhs,bhsd->bhd", pr, vd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
