@@ -17,8 +17,13 @@ Layout:
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Optional
+
+
+def _now() -> float:
+    return time.monotonic()
 
 import jax
 import jax.numpy as jnp
@@ -453,6 +458,7 @@ class PagedEngine:
         self.horizon = horizon
         self.slot_req = [None] * num_slots
         self.queue: list = []
+        self._all_reqs: list = []       # every request ever submitted
         self._uid = 0
         self._count = np.zeros(num_slots, np.int64)    # tokens incl. prefill
         self._last_tok = np.zeros(num_slots, np.int32)
@@ -462,9 +468,10 @@ class PagedEngine:
     def submit(self, prompt, max_new_tokens=64, eos_token_id=None):
         from mxq_tpu.serving.engine import Request
         req = Request(self._uid, np.asarray(prompt, np.int32),
-                      max_new_tokens, eos_token_id)
+                      max_new_tokens, eos_token_id, t_submit=_now())
         self._uid += 1
         self.queue.append(req)
+        self._all_reqs.append(req)
         return req
 
     def _admit(self, finished: list) -> None:
@@ -574,6 +581,8 @@ class PagedEngine:
                 if s in retired or r is None or self.slot_req[s] is not r:
                     continue
                 tok = int(toks[i, s])
+                if not r.generated:
+                    r.t_first = _now()
                 r.generated.append(tok)
                 self._count[s] += 1
                 self._last_tok[s] = tok
@@ -581,6 +590,7 @@ class PagedEngine:
                            and tok == r.eos_token_id)
                 if self._count[s] >= r.max_new_tokens or hit_eos:
                     r.done = True
+                    r.t_done = _now()
                     finished.append(r)
                     self.pool.release(s)
                     self.slot_req[s] = None
@@ -595,6 +605,7 @@ class PagedEngine:
         for s, r in enumerate(self.slot_req):
             if r is not None and self.pool.lengths[s] + horizon > cap:
                 r.done = True
+                r.t_done = _now()
                 finished.append(r)
                 self.pool.release(s)
                 self.slot_req[s] = None
@@ -611,6 +622,27 @@ class PagedEngine:
         else:
             self._retire_at_cap(finished, 1)
         return finished
+
+    def stats(self) -> dict:
+        """TTFT / end-to-end percentiles + throughput over all requests
+        this engine has seen — the paged mirror of Engine.stats()."""
+        reqs = self._all_reqs
+        fin = [r for r in reqs if r.done and r.t_first and r.t_done]
+        out = {"requests_submitted": len(reqs),
+               "requests_finished": len(fin),
+               "tokens_generated": sum(len(r.generated) for r in reqs)}
+        if fin:
+            ttft = np.array([r.t_first - r.t_submit for r in fin])
+            e2e = np.array([r.t_done - r.t_submit for r in fin])
+            span = (max(r.t_done for r in fin)
+                    - min(r.t_submit for r in fin)) or 1e-9
+            out.update(
+                ttft_p50_s=float(np.percentile(ttft, 50)),
+                ttft_p95_s=float(np.percentile(ttft, 95)),
+                e2e_p50_s=float(np.percentile(e2e, 50)),
+                e2e_p95_s=float(np.percentile(e2e, 95)),
+                tokens_per_sec=sum(len(r.generated) for r in fin) / span)
+        return out
 
     def run(self):
         done = []
