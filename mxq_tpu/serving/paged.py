@@ -517,6 +517,7 @@ class PagedEngine:
                             jnp.int32(ts), jnp.int32(off), jnp.array(pages),
                             chunk_pages, pkey, self.cfg, sample=self.sample)
             first = int(first)          # blocks: serialized after in-flight
+            req.t_first = _now()        # prefill's own token = TTFT anchor
             req.generated = [first]
             self.slot_req[slot] = req
             self.pool.lengths[slot] = t
@@ -525,6 +526,7 @@ class PagedEngine:
             self._admit_gen[slot] += 1
             if req.max_new_tokens <= 1:
                 req.done = True
+                req.t_done = _now()
                 finished.append(req)
                 self.pool.release(slot)
                 self.slot_req[slot] = None
