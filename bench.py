@@ -193,6 +193,7 @@ def autotune_layout(key):
 
 
 def main(_retry=True):
+    wd = None
     try:
         # stage 1: a tiny d2h transfer proves the relay is alive (5 min —
         # generous for a cold backend) before committing to the long run
@@ -270,6 +271,8 @@ def main(_retry=True):
         }))
         wd.cancel()
     except Exception as e:  # noqa: BLE001 — bench must always emit a JSON line
+        if wd is not None:
+            wd.cancel()     # a stale deadline must not kill the retry
         if _retry:
             # transient device-state failures (e.g. stale HBM from a killed
             # predecessor) clear on a fresh attempt

@@ -325,6 +325,12 @@ def cmd_serve(args):
     if args.paged and args.prefill_a8:
         print("note: --prefill_a8 applies to the slot engine only",
               flush=True)
+    if args.paged and args.kv_bits not in (8, 32):
+        raise SystemExit(f"--paged supports kv_bits 8 (int8 page pool) or "
+                         f"32 (bf16 pages), not {args.kv_bits}")
+    if args.paged and args.lm_head_bits != 16:
+        print("note: --lm_head_bits applies to the slot engine only",
+              flush=True)
     cfg, params = _load_model(args, w_bits=args.w_bits)
     if args.packed:
         params = llama.quantize_params_packed(params, cfg)

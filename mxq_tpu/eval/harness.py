@@ -345,8 +345,16 @@ class MultipleChoiceTask:
             raise RuntimeError(f"task {self.name!r} produced zero documents")
         if limit:
             docs = docs[:limit]
-        pool = getattr(self, "fewshot_docs", lambda: None)() \
-            if num_fewshot else None
+        pool = None
+        if num_fewshot and hasattr(self, "fewshot_docs"):
+            pool = self.fewshot_docs()
+            if pool is None:
+                # do NOT silently fall back to sampling eval docs — that
+                # would quietly change the few-shot protocol (MMLU must
+                # draw from its dev split, hendrycks_test.py:157-161)
+                raise RuntimeError(
+                    f"task {self.name!r}: few-shot example split "
+                    "unavailable (datasets/network missing?)")
         prefixes = fewshot_prefixes(
             docs, num_fewshot,
             lambda d: f"{d.context} {d.choices[d.gold]}", pool=pool)

@@ -1184,8 +1184,15 @@ class GSM8K(GenerationTask):
                              _gsm8k_extract(text) == gold)}
 
 
-UNSCRAMBLE_SUBTASKS = ("anagrams1", "anagrams2", "cycle_letters",
-                       "random_insertion", "reversed_words")
+# registry name (tasks/__init__.py:190-194) -> HF dataset config (the
+# GPT-3 file names, lm_eval/datasets/unscramble/unscramble.py:52-56)
+UNSCRAMBLE_SUBTASKS = {
+    "anagrams1": "mid_word_1_anagrams",
+    "anagrams2": "mid_word_2_anagrams",
+    "cycle_letters": "cycle_letters_in_word",
+    "random_insertion": "random_insertion_in_word",
+    "reversed_words": "reversed_words",
+}
 
 
 class Unscramble(GenerationTask):
@@ -1207,8 +1214,9 @@ class Unscramble(GenerationTask):
     def docs(self):
         def load():
             from datasets import load_dataset
-            return self.convert(load_dataset("EleutherAI/unscramble",
-                                             self.sub, split="validation"))
+            return self.convert(load_dataset(
+                "EleutherAI/unscramble", UNSCRAMBLE_SUBTASKS[self.sub],
+                split="validation"))
         return _hf_docs(load)
 
     def context(self, d):
@@ -1863,15 +1871,26 @@ class TruthfulQAGen(GenerationTask):
     max_gen = 64
 
     @staticmethod
-    def convert(rows) -> list[dict]:
+    def _fmt(answers) -> list[str]:
+        """strip + ensure a trailing period, dropping empties
+        (tasks/truthfulqa.py:195-205 _format_answers)."""
+        out = []
+        for a in answers:
+            a = a.strip()
+            if a:
+                out.append(a if a.endswith(".") else a + ".")
+        return out
+
+    @classmethod
+    def convert(cls, rows) -> list[dict]:
         out = []
         for d in rows:
-            correct = [c.strip() for c in d["correct_answers"] if c.strip()]
+            correct = cls._fmt(d["correct_answers"])
             if "I have no comment." not in correct:
                 correct.append("I have no comment.")
-            wrong = [c.strip() for c in d["incorrect_answers"] if c.strip()]
             out.append(dict(question=d["question"].strip(),
-                            correct=correct, incorrect=wrong))
+                            correct=correct,
+                            incorrect=cls._fmt(d["incorrect_answers"])))
         return out
 
     def docs(self):

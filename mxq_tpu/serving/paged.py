@@ -583,8 +583,8 @@ class PagedEngine:
                 if s in retired or r is None or self.slot_req[s] is not r:
                     continue
                 tok = int(toks[i, s])
-                if not r.generated:
-                    r.t_first = _now()
+                # (t_first was anchored at admission — the prefill itself
+                # yields the request's first token)
                 r.generated.append(tok)
                 self._count[s] += 1
                 self._last_tok[s] = tok
