@@ -324,15 +324,30 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
                 # "pending" and commit in ONE stacked update in forward().
                 from mxq_tpu.ops import attn_int8 as _a8
                 positions = jnp.full((b,), cache_pos, jnp.int32)
-                ctx, kc2, vc2 = _a8.int8_decode_attention_fused_write(
-                    q[:, 0], cache["k_codes"], cache["k_scale"],
-                    cache["v_codes"], cache["v_scale"],
-                    kc, ksc, vc, vsc, idx, positions)
+                if _a8.FUSED_WRITE:
+                    ctx, kc2, vc2 = _a8.int8_decode_attention_fused_write(
+                        q[:, 0], cache["k_codes"], cache["k_scale"],
+                        cache["v_codes"], cache["v_scale"],
+                        kc, ksc, vc, vsc, idx, positions)
+                    new_cache = dict(cache)
+                    new_cache["k_codes"] = kc2
+                    new_cache["v_codes"] = vc2
+                    new_cache["pending"] = (ksc, vsc)
+                else:
+                    # r3 DEFERRED-WRITE path (A/B reference): slice the
+                    # layer view, attend out-of-cache, ride code+scale
+                    # rows out of the scan for one stacked commit
+                    layer_view = {kk: jax.lax.dynamic_index_in_dim(
+                        cache[kk], idx, 0, keepdims=False)
+                        for kk in ("k_codes", "k_scale",
+                                   "v_codes", "v_scale")}
+                    ctx = _a8.int8_decode_attention_cur(
+                        q[:, 0], layer_view["k_codes"],
+                        layer_view["k_scale"], layer_view["v_codes"],
+                        layer_view["v_scale"], kc, ksc, vc, vsc, positions)
+                    new_cache = dict(cache)
+                    new_cache["pending"] = (kc, ksc, vc, vsc)
                 ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
-                new_cache = dict(cache)
-                new_cache["k_codes"] = kc2
-                new_cache["v_codes"] = vc2
-                new_cache["pending"] = (ksc, vsc)
                 return (quant_linear(ctx, layer["o_proj"], cfg, train),
                         new_cache)
             updc = lambda buf, val: jax.lax.dynamic_update_slice(
@@ -532,17 +547,26 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
         (x, new_caches), pend = jax.lax.scan(body_cached, (x, caches),
                                              (idxs, dense_stacks))
         if pend is not None:
-            # pend: (ks [L,B,H,1], vs [L,B,H,1]) — one-token SCALE rows (the
-            # code rows were already written in-kernel by the fused-write
-            # attention; scales are ~1000x smaller so a stacked update is
-            # cheap)
-            ks, vs = pend
+            # fused-write (len 2): (ks, vs) one-token SCALE rows — the code
+            # rows were written in-kernel. r3 deferred-write (len 4):
+            # (kc, ks, vc, vs) codes+scales commit here in one stacked
+            # update (attn_int8.FUSED_WRITE switches the paths).
             pos = cache_pos
+            updc = lambda buf, val: jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (0, 0, 0, pos, 0))
             upds = lambda buf, val: jax.lax.dynamic_update_slice(
                 buf, val.astype(buf.dtype), (0, 0, 0, pos))
-            new_caches = {**new_caches,
-                          "k_scale": upds(new_caches["k_scale"], ks),
-                          "v_scale": upds(new_caches["v_scale"], vs)}
+            if len(pend) == 2:
+                ks, vs = pend
+                new_caches = {**new_caches,
+                              "k_scale": upds(new_caches["k_scale"], ks),
+                              "v_scale": upds(new_caches["v_scale"], vs)}
+            else:
+                kc, ks, vc, vs = pend
+                new_caches = {"k_codes": updc(new_caches["k_codes"], kc),
+                              "k_scale": upds(new_caches["k_scale"], ks),
+                              "v_codes": updc(new_caches["v_codes"], vc),
+                              "v_scale": upds(new_caches["v_scale"], vs)}
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

@@ -35,6 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = float(np.finfo(np.float32).min)
 
+# t==1 decode cache-write strategy: True = fused in-kernel aliased writes
+# (int8_decode_attention_fused_write), False = the r3 deferred-write path
+# (layer-view + post-scan stacked commit). Env MXQ_FUSED_WRITE=0 flips it
+# for A/B timing (bench.py reports both).
+import os as _os
+
+FUSED_WRITE = _os.environ.get("MXQ_FUSED_WRITE", "1") != "0"
+
 
 def _attend(q, kc, ks, vc, vs, pos, scale, cur=None):
     """Batched-by-head attention math on VALUES:

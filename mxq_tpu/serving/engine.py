@@ -671,13 +671,26 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
                 # commit in one stacked scatter after the scan (the
                 # per-layer view/update chain this replaces cost ~1.1 ms of
                 # the 8.9 ms 7B step — docs/RESULTS.md r4 trace).
-                ctx, kc2, vc2 = _a8.int8_decode_attention_fused_write(
-                    q[:, 0], cache["k_codes"], cache["k_scale"],
-                    cache["v_codes"], cache["v_scale"],
-                    kc, ks, vc, vs, idx, positions)
-                ctx = ctx[:, None]
-                cache = dict(cache, k_codes=kc2, v_codes=vc2)
-                pend = (ks, vs)
+                if _a8.FUSED_WRITE:
+                    ctx, kc2, vc2 = _a8.int8_decode_attention_fused_write(
+                        q[:, 0], cache["k_codes"], cache["k_scale"],
+                        cache["v_codes"], cache["v_scale"],
+                        kc, ks, vc, vs, idx, positions)
+                    ctx = ctx[:, None]
+                    cache = dict(cache, k_codes=kc2, v_codes=vc2)
+                    pend = (ks, vs)
+                else:
+                    # r3 deferred-write path (A/B reference)
+                    layer_view = {kk: jax.lax.dynamic_index_in_dim(
+                        cache[kk], idx, 0, keepdims=False)
+                        for kk in ("k_codes", "k_scale",
+                                   "v_codes", "v_scale")}
+                    ctx = _a8.int8_decode_attention_cur(
+                        q[:, 0], layer_view["k_codes"],
+                        layer_view["k_scale"], layer_view["v_codes"],
+                        layer_view["v_scale"], kc, ks, vc, vs,
+                        positions)[:, None]
+                    pend = (kc, ks, vc, vs)
             else:
                 def scat(buf, val):
                     # buf [L, B, H, S, ...]; advanced indices (idx, rows,
@@ -742,20 +755,32 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
     (x, new_caches), pend = jax.lax.scan(
         body, (x, caches), (jnp.arange(nl, dtype=jnp.int32), dense_stacks))
     if pend is not None:
-        # commit all layers' pending one-token SCALE rows in ONE scatter per
-        # buffer (the code rows were written in-kernel by the fused-write
-        # attention): buf[:, rows, :, posmat] has advanced dims [B, 1]
-        # first, so values arrive as [B, T=1, L, H]
-        ks, vs = pend                               # [L,B,H,1]
+        # commit all layers' pending one-token rows in ONE scatter per
+        # buffer: buf[:, rows, :, posmat] has advanced dims [B, 1] first.
+        # Fused-write (len 2): only SCALE rows (codes were written
+        # in-kernel); r3 deferred-write (len 4): codes too.
         rows = jnp.arange(b)[:, None]
 
-        def commits(buf, val):
+        def commits(buf, val):                      # val [L,B,H,1]
             return buf.at[:, rows, :, posmat].set(
                 val.transpose(1, 3, 0, 2).astype(buf.dtype))
 
-        new_caches = {**new_caches,
-                      "k_scale": commits(new_caches["k_scale"], ks),
-                      "v_scale": commits(new_caches["v_scale"], vs)}
+        def commitc(buf, val):                      # val [L,B,H,1,D]
+            return buf.at[:, rows, :, posmat].set(
+                val.transpose(1, 3, 0, 2, 4).astype(buf.dtype))
+
+        if len(pend) == 2:
+            ks, vs = pend
+            new_caches = {**new_caches,
+                          "k_scale": commits(new_caches["k_scale"], ks),
+                          "v_scale": commits(new_caches["v_scale"], vs)}
+        else:
+            kc, ks, vc, vs = pend
+            new_caches = {
+                "k_codes": commitc(new_caches["k_codes"], kc),
+                "k_scale": commits(new_caches["k_scale"], ks),
+                "v_codes": commitc(new_caches["v_codes"], vc),
+                "v_scale": commits(new_caches["v_scale"], vs)}
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")
     if head is None:
