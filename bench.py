@@ -230,23 +230,27 @@ def main(_retry=True):
         # the bf16 dense baseline keeps its bf16 cache either way.
         t_kv8 = bench_decode(cfg, params, kv_quant=True)
 
-        # A/B the t==1 cache-write strategy: fused in-kernel aliased
-        # writes (r4) vs the r3 deferred-write (layer view + stacked
-        # commit). The headline takes the faster; both are exact.
+        # A/B/C the t==1 cache-write strategy: fused in-kernel aliased
+        # writes / folded-read + deferred commits / r3 layer-view +
+        # deferred commits. All exact; the fastest wins the headline.
         from mxq_tpu.ops import attn_int8 as _a8
-        flip = not _a8.FUSED_WRITE
-        _a8.FUSED_WRITE = flip
-        jax.clear_caches()
-        try:
-            t_kv8_alt = bench_decode(cfg, params, kv_quant=True)
-        finally:
-            _a8.FUSED_WRITE = not flip
+        t_path = {_a8.WRITE_PATH: t_kv8}
+        base = _a8.WRITE_PATH
+        for pathname in ("fused", "folded", "deferred"):
+            if pathname in t_path:
+                continue
+            _a8.WRITE_PATH = pathname
             jax.clear_caches()
-        t_fused, t_deferred = ((t_kv8, t_kv8_alt) if not flip
-                               else (t_kv8_alt, t_kv8))
-        if t_kv8_alt < t_kv8:
-            t_kv8 = t_kv8_alt
-            _a8.FUSED_WRITE = flip      # faster path wins the headline
+            try:
+                t_path[pathname] = bench_decode(cfg, params, kv_quant=True)
+            except Exception as e:      # noqa: BLE001 — report, keep going
+                t_path[pathname] = float("inf")
+                t_path[pathname + "_error"] = f"{type(e).__name__}: {e}"[:120]
+        best = min((p for p in ("fused", "folded", "deferred")),
+                   key=lambda p: t_path[p])
+        _a8.WRITE_PATH = best
+        jax.clear_caches()
+        t_kv8 = t_path[best]
 
         # detail row: opt-in packed uniform-4b lm_head
         # (EngineConfig.lm_head_bits=4) — 4x fewer vocab-matmul weight
@@ -277,10 +281,12 @@ def main(_retry=True):
                         else v)
                     for k, v in layout_times.items()},
                 "t_step_mxq_kv8_ms": round(t_kv8 * 1e3, 3),
-                "kv8_write_path": ("fused" if t_fused <= t_deferred
-                                   else "deferred"),
-                "t_step_kv8_fused_ms": round(t_fused * 1e3, 3),
-                "t_step_kv8_deferred_ms": round(t_deferred * 1e3, 3),
+                "kv8_write_path": best,
+                "kv8_write_paths_ms": {
+                    k: (round(v * 1e3, 3)
+                        if isinstance(v, float) and np.isfinite(v)
+                        else v if isinstance(v, str) else None)
+                    for k, v in t_path.items()},
                 "t_step_mxq_kv8_u4head_ms": round(t_kv8_u4h * 1e3, 3),
                 "tok_s_chip_kv8_u4head": round(BATCH / t_kv8_u4h, 1),
                 # the r1/r2 protocol row (bf16 KV cache), for comparability

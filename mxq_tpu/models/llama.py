@@ -324,7 +324,7 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
                 # "pending" and commit in ONE stacked update in forward().
                 from mxq_tpu.ops import attn_int8 as _a8
                 positions = jnp.full((b,), cache_pos, jnp.int32)
-                if _a8.FUSED_WRITE:
+                if _a8.WRITE_PATH == "fused":
                     ctx, kc2, vc2 = _a8.int8_decode_attention_fused_write(
                         q[:, 0], cache["k_codes"], cache["k_scale"],
                         cache["v_codes"], cache["v_scale"],
@@ -333,6 +333,15 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
                     new_cache["k_codes"] = kc2
                     new_cache["v_codes"] = vc2
                     new_cache["pending"] = (ksc, vsc)
+                elif _a8.WRITE_PATH == "folded":
+                    # folded-stack READ only; codes+scales commit
+                    # post-scan like the r3 path
+                    ctx = _a8.int8_decode_attention_cur_folded(
+                        q[:, 0], cache["k_codes"], cache["k_scale"],
+                        cache["v_codes"], cache["v_scale"],
+                        kc, ksc, vc, vsc, idx, positions)
+                    new_cache = dict(cache)
+                    new_cache["pending"] = (kc, ksc, vc, vsc)
                 else:
                     # r3 DEFERRED-WRITE path (A/B reference): slice the
                     # layer view, attend out-of-cache, ride code+scale

@@ -35,13 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = float(np.finfo(np.float32).min)
 
-# t==1 decode cache-write strategy: True = fused in-kernel aliased writes
-# (int8_decode_attention_fused_write), False = the r3 deferred-write path
-# (layer-view + post-scan stacked commit). Env MXQ_FUSED_WRITE=0 flips it
-# for A/B timing (bench.py reports both).
+# t==1 decode cache-write strategy (env MXQ_WRITE_PATH; bench.py times
+# all three and the fastest wins the headline):
+#   "fused"    — folded-stack read + in-kernel ALIASED row writes
+#   "folded"   — folded-stack read, ctx-only output, post-scan commits
+#                (keeps Mosaic's cross-grid-step DMA prefetch)
+#   "deferred" — r3 path: layer-view copy + post-scan commits
 import os as _os
 
-FUSED_WRITE = _os.environ.get("MXQ_FUSED_WRITE", "1") != "0"
+WRITE_PATH = _os.environ.get("MXQ_WRITE_PATH", "fused")
+assert WRITE_PATH in ("fused", "folded", "deferred"), WRITE_PATH
 
 
 def _attend(q, kc, ks, vc, vs, pos, scale, cur=None):
@@ -642,4 +645,86 @@ def int8_paged_decode_attention(q, k_pages, k_scales, v_pages, v_scales,
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
     out = _paged_attn_call(qg, k_pages, k_scales, v_pages, v_scales,
                            lengths, page_tables, interpret=interpret)
+    return out[:, :, :g, :].reshape(b, hq, d)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attn_call_cur_folded(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
+                          positions, idx, *, interpret):
+    """Deferred-write decode attention reading layer ``idx`` straight out
+    of the FOLDED [L*B, H, S, D] stack — the read side of the fused-write
+    kernel WITHOUT the in-kernel aliased row writes (ctx is the only
+    output, so Mosaic keeps cross-grid-step DMA prefetch; aliased outputs
+    measured ~0.6 ms/step slower on 7B, docs/RESULTS.md r4). The caller
+    commits the current rows post-scan like the r3 deferred path."""
+    b, hkv, g8, d = q.shape
+    lb, _, s, _ = kc.shape
+    hb = _pick_head_block(hkv, s, d)
+    grid = (b, hkv // hb)
+    scale = 1.0 / float(np.sqrt(d))
+    nb = b
+
+    def cache_spec(shp3):
+        return pl.BlockSpec(
+            (1, hb) + shp3,
+            lambda bi, hi, lens, i: (i[0] * nb + bi, hi, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def cur_spec(shp3):
+        return pl.BlockSpec(
+            (1, hb) + shp3, lambda bi, hi, lens, i: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,       # positions, idx
+        grid=grid,
+        in_specs=[
+            cur_spec((g8, d)),              # q
+            cache_spec((s, d)),             # k codes (folded stack)
+            cache_spec((1, s)),             # k scale
+            cache_spec((s, d)),             # v codes
+            cache_spec((1, s)),             # v scale
+            cur_spec((1, d)),               # current k codes
+            cur_spec((1, 1)),               # current k scale
+            cur_spec((1, d)),               # current v codes
+            cur_spec((1, 1)),               # current v scale
+        ],
+        out_specs=cur_spec((g8, d)),
+    )
+    def kernel(pos_ref, idx_ref, *rest):
+        del idx_ref          # consumed by the BlockSpec index maps
+        _kernel_cur(pos_ref, *rest, scale=scale)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g8, d), jnp.float32),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), jnp.asarray(idx, jnp.int32).reshape(1),
+      q, kc, ks, vc, vs, kcur, kscur[:, :, :, None], vcur,
+      vscur[:, :, :, None])
+
+
+def int8_decode_attention_cur_folded(q, k_codes, k_scale, v_codes, v_scale,
+                                     kcur, kscur, vcur, vscur, layer_idx,
+                                     positions,
+                                     interpret: bool | None = None
+                                     ) -> jax.Array:
+    """Deferred-write decode attention over the stacked cache, layer
+    selected in-kernel via scalar prefetch (no layer-view copy, no
+    in-kernel writes). Same math as int8_decode_attention_cur."""
+    if interpret is None:
+        interpret = _on_cpu()
+    l, b, hkv, s, d = k_codes.shape
+    hq = q.shape[1]
+    g = hq // hkv
+    g8 = max(8, g)
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    if g8 != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
+    fold = lambda c: c.reshape(l * b, hkv, s, d)        # noqa: E731
+    folds = lambda c: c.reshape(l * b, hkv, 1, s)       # noqa: E731
+    out = _attn_call_cur_folded(
+        qg, fold(k_codes), folds(k_scale), fold(v_codes), folds(v_scale),
+        kcur, kscur, vcur, vscur, positions, layer_idx, interpret=interpret)
     return out[:, :, :g, :].reshape(b, hq, d)

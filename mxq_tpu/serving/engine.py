@@ -671,7 +671,7 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
                 # commit in one stacked scatter after the scan (the
                 # per-layer view/update chain this replaces cost ~1.1 ms of
                 # the 8.9 ms 7B step — docs/RESULTS.md r4 trace).
-                if _a8.FUSED_WRITE:
+                if _a8.WRITE_PATH == "fused":
                     ctx, kc2, vc2 = _a8.int8_decode_attention_fused_write(
                         q[:, 0], cache["k_codes"], cache["k_scale"],
                         cache["v_codes"], cache["v_scale"],
@@ -679,6 +679,12 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
                     ctx = ctx[:, None]
                     cache = dict(cache, k_codes=kc2, v_codes=vc2)
                     pend = (ks, vs)
+                elif _a8.WRITE_PATH == "folded":
+                    ctx = _a8.int8_decode_attention_cur_folded(
+                        q[:, 0], cache["k_codes"], cache["k_scale"],
+                        cache["v_codes"], cache["v_scale"],
+                        kc, ks, vc, vs, idx, positions)[:, None]
+                    pend = (kc, ks, vc, vs)
                 else:
                     # r3 deferred-write path (A/B reference)
                     layer_view = {kk: jax.lax.dynamic_index_in_dim(

@@ -756,3 +756,35 @@ class TestPackedLMHead:
         ref = jnp.einsum("bhs,bhsd->bhd", pr, vd)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-2, atol=2e-2)
+
+    def test_folded_read_matches_cur(self):
+        """int8_decode_attention_cur_folded (folded-stack read, ctx-only
+        output) must match int8_decode_attention_cur on the layer view
+        bit-for-bit."""
+        from mxq_tpu.ops import attn_int8
+        L, b, hq, hkv, s, d = 3, 3, 8, 4, 32, 64
+        keys = jax.random.split(jax.random.PRNGKey(13), 7)
+        q = jax.random.normal(keys[0], (b, hq, d), jnp.float32)
+        kc = jax.random.randint(keys[1], (L, b, hkv, s, d), -127, 128,
+                                jnp.int8)
+        vc = jax.random.randint(keys[2], (L, b, hkv, s, d), -127, 128,
+                                jnp.int8)
+        ks = (jax.random.uniform(keys[3], (L, b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        vs = (jax.random.uniform(keys[4], (L, b, hkv, s)) * 0.02 + 0.001
+              ).astype(jnp.bfloat16)
+        kcur = jax.random.randint(keys[5], (b, hkv, 1, d), -127, 128,
+                                  jnp.int8)
+        vcur = jax.random.randint(keys[6], (b, hkv, 1, d), -127, 128,
+                                  jnp.int8)
+        kscur = jnp.full((b, hkv, 1), 0.015, jnp.bfloat16)
+        vscur = jnp.full((b, hkv, 1), 0.012, jnp.bfloat16)
+        positions = jnp.array([0, 11, s - 1], jnp.int32)
+        for idx in range(L):
+            out = attn_int8.int8_decode_attention_cur_folded(
+                q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
+                jnp.int32(idx), positions)
+            ref = attn_int8.int8_decode_attention_cur(
+                q, kc[idx], ks[idx], vc[idx], vs[idx],
+                kcur, kscur, vcur, vscur, positions)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
