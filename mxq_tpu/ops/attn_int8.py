@@ -545,35 +545,35 @@ def _kernel_paged(len_ref, tbl_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
 
     length = len_ref[b]
     base = p * PAGE_INT8
-    q = q_ref[0, 0]                                    # [G8, D] bf16
-    kc = kc_ref[0, 0]                                  # [PAGE, D] int8
-    ks = ks_ref[0, 0]                                  # [1, PAGE] bf16
+    q = q_ref[0]                                       # [HB, G8, D] bf16
+    kc = kc_ref[:, 0]                                  # [HB, PAGE, D] int8
+    ks = ks_ref[:, 0]                                  # [HB, 1, PAGE] bf16
     st = jax.lax.dot_general(
-        q, kc, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [G8, PAGE]
+        q, kc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [HB, G8, PAGE]
     st = st * (ks.astype(jnp.float32) * scale)
-    rows = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, st.shape, 2)
     valid = (base + rows) < length
     st = jnp.where(valid, st, NEG)
 
-    m_old = m_ref[...]                                 # [G8, 1]
-    m_new = jnp.maximum(m_old, jnp.max(st, axis=1, keepdims=True))
+    m_old = m_ref[...]                                 # [HB, G8, 1]
+    m_new = jnp.maximum(m_old, jnp.max(st, axis=2, keepdims=True))
     # exp(st - m_new) would be exp(0)=1 for fully-masked rows when m_new
     # is still NEG — gate on the mask instead of the logit value
-    pexp = jnp.where(valid, jnp.exp(st - m_new), 0.0)  # [G8, PAGE]
-    alpha = jnp.exp(m_old - m_new)                     # [G8, 1]
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(pexp, axis=1, keepdims=True)
-    pv = (pexp * vs_ref[0, 0].astype(jnp.float32)).astype(jnp.bfloat16)
+    pexp = jnp.where(valid, jnp.exp(st - m_new), 0.0)  # [HB, G8, PAGE]
+    alpha = jnp.exp(m_old - m_new)                     # [HB, G8, 1]
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(pexp, axis=2, keepdims=True)
+    pv = (pexp * vs_ref[:, 0].astype(jnp.float32)).astype(jnp.bfloat16)
     pvv = jax.lax.dot_general(
-        pv, vc_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [G8, D]
+        pv, vc_ref[:, 0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [HB, G8, D]
     acc_ref[...] = acc_ref[...] * alpha + pvv
     m_ref[...] = m_new
 
     @pl.when(p == npages - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[...] /
-                       jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] /
+                    jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -581,12 +581,18 @@ def _paged_attn_call(q, kc, ks, vc, vs, lengths, tables, *, interpret):
     b, hkv, g8, d = q.shape
     _, _, page, _ = kc.shape
     npages = tables.shape[1]
-    grid = (b, hkv, npages)
+    # head-block like the dense kernel: HB heads share one grid step's
+    # page DMA + batched MXU dots (one head/step measured 6.5x slower
+    # than the upstream bf16 kernel; grid-step count dominates)
+    hb = min(hkv, 8)
+    while hkv % hb:
+        hb -= 1
+    grid = (b, hkv // hb, npages)
     scale = 1.0 / float(np.sqrt(d))
 
     def page_spec(shp2):
         return pl.BlockSpec(
-            (1, 1) + shp2,
+            (hb, 1) + shp2,
             lambda bi, hi, p, lens, tbl: (hi, tbl[bi, p], 0, 0),
             memory_space=pltpu.VMEM)
 
@@ -594,7 +600,7 @@ def _paged_attn_call(q, kc, ks, vc, vs, lengths, tables, *, interpret):
         num_scalar_prefetch=2,       # lengths, tables
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, g8, d),
+            pl.BlockSpec((1, hb, g8, d),
                          lambda bi, hi, p, lens, tbl: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),     # q
             page_spec((page, d)),                      # k codes
@@ -603,12 +609,12 @@ def _paged_attn_call(q, kc, ks, vc, vs, lengths, tables, *, interpret):
             page_spec((1, page)),                      # v scales
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, g8, d), lambda bi, hi, p, lens, tbl: (bi, hi, 0, 0),
+            (1, hb, g8, d), lambda bi, hi, p, lens, tbl: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((g8, 1), jnp.float32),          # running max
-            pltpu.VMEM((g8, 1), jnp.float32),          # running denom
-            pltpu.VMEM((g8, d), jnp.float32),          # running ctx
+            pltpu.VMEM((hb, g8, 1), jnp.float32),      # running max
+            pltpu.VMEM((hb, g8, 1), jnp.float32),      # running denom
+            pltpu.VMEM((hb, g8, d), jnp.float32),      # running ctx
         ],
     )
     return pl.pallas_call(
