@@ -322,8 +322,11 @@ def _kernel_cur_write(pos_ref, idx_ref, q_ref, kc_ref, ks_ref, vc_ref,
     b = pl.program_id(0)
     pos = pos_ref[b]
     cur = (kcur_ref[0], kscur_ref[0], vcur_ref[0], vscur_ref[0])
-    ctx = _attend(q_ref[0], kc_ref[0], ks_ref[0], vc_ref[0], vs_ref[0],
-                  pos, scale, cur=cur)
+    # scale blocks are 3-D (1, hb, s) — the 4-D [L*B, H, 1, S] view would
+    # force XLA to COPY the whole folded scale stack every scan iteration
+    # (a tiled-layout change; ~0.8 ms/step on 7B, r4 trace copy.138/139)
+    ctx = _attend(q_ref[0], kc_ref[0], ks_ref[0][:, None, :], vc_ref[0],
+                  vs_ref[0][:, None, :], pos, scale, cur=cur)
     o_ref[0] = ctx.astype(o_ref.dtype)
     # commit the current token's code rows for this (batch, head-block):
     # the output blocks are (1, hb, 8, d) windows of the ALIASED cache
@@ -378,6 +381,14 @@ def _attn_call_cur_write(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
             lambda bi, hi, p, i: (i[0] * nb + bi, hi, 0, 0),
             memory_space=pltpu.VMEM)
 
+    def scale_spec():
+        # 3-D [L*B, H, S] blocks — a [L*B, H, 1, S] view is NOT a bitcast
+        # of the [L, B, H, S] cache layout and costs a full-stack copy
+        # per scan iteration (r4 trace)
+        return pl.BlockSpec(
+            (1, hb, s), lambda bi, hi, p, i: (i[0] * nb + bi, hi, 0),
+            memory_space=pltpu.VMEM)
+
     def cur_spec(shp3):
         return pl.BlockSpec(
             (1, hb) + shp3, lambda bi, hi, p, i: (bi, hi, 0, 0),
@@ -389,9 +400,9 @@ def _attn_call_cur_write(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
         in_specs=[
             cur_spec((g8, d)),              # q
             cache_spec((s, d)),             # k codes (folded stack)
-            cache_spec((1, s)),             # k scale
+            scale_spec(),                   # k scale
             cache_spec((s, d)),             # v codes
-            cache_spec((1, s)),             # v scale
+            scale_spec(),                   # v scale
             cur_spec((1, d)),               # current k codes
             cur_spec((1, 1)),               # current k scale
             cur_spec((1, d)),               # current v codes
@@ -425,7 +436,7 @@ def _attn_call_cur_write(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
         interpret=interpret,
     )(positions.astype(jnp.int32), jnp.asarray(idx, jnp.int32).reshape(1),
       q, kc, ks, vc, vs, kcur, kscur[:, :, :, None], vcur,
-      vscur[:, :, :, None])
+      vscur[:, :, :, None])  # ks/vs: [L*B, H, S]
 
 
 def int8_decode_attention_fused_write(q, k_codes, k_scale, v_codes, v_scale,
@@ -458,7 +469,9 @@ def int8_decode_attention_fused_write(q, k_codes, k_scale, v_codes, v_scale,
     if g8 != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
     fold = lambda c: c.reshape(l * b, hkv, s, d)        # noqa: E731
-    folds = lambda c: c.reshape(l * b, hkv, 1, s)       # noqa: E731
+    # 3-D scale fold: merging leading dims is a pure bitcast of the
+    # [L, B, H, S] layout; inserting a size-1 dim is NOT (r4 trace)
+    folds = lambda c: c.reshape(l * b, hkv, s)          # noqa: E731
     out, kc2, vc2 = _attn_call_cur_write(
         qg, fold(k_codes), folds(k_scale), fold(v_codes), folds(v_scale),
         kcur, kscur, vcur, vscur, positions, layer_idx, interpret=interpret)
@@ -681,15 +694,22 @@ def _attn_call_cur_folded(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
             (1, hb) + shp3, lambda bi, hi, lens, i: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM)
 
+    def scale_spec():
+        # 3-D [L*B, H, S] blocks (a [.., 1, S] view costs a full-stack
+        # copy per scan iteration — r4 trace, see _attn_call_cur_write)
+        return pl.BlockSpec(
+            (1, hb, s), lambda bi, hi, lens, i: (i[0] * nb + bi, hi, 0),
+            memory_space=pltpu.VMEM)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,       # positions, idx
         grid=grid,
         in_specs=[
             cur_spec((g8, d)),              # q
             cache_spec((s, d)),             # k codes (folded stack)
-            cache_spec((1, s)),             # k scale
+            scale_spec(),                   # k scale
             cache_spec((s, d)),             # v codes
-            cache_spec((1, s)),             # v scale
+            scale_spec(),                   # v scale
             cur_spec((1, d)),               # current k codes
             cur_spec((1, 1)),               # current k scale
             cur_spec((1, d)),               # current v codes
@@ -697,9 +717,17 @@ def _attn_call_cur_folded(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
         ],
         out_specs=cur_spec((g8, d)),
     )
-    def kernel(pos_ref, idx_ref, *rest):
+
+    def kernel(pos_ref, idx_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+               kcur_ref, kscur_ref, vcur_ref, vscur_ref, o_ref):
         del idx_ref          # consumed by the BlockSpec index maps
-        _kernel_cur(pos_ref, *rest, scale=scale)
+        bq = pl.program_id(0)
+        pos = pos_ref[bq]
+        cur = (kcur_ref[0], kscur_ref[0], vcur_ref[0], vscur_ref[0])
+        ctx = _attend(q_ref[0], kc_ref[0], ks_ref[0][:, None, :],
+                      vc_ref[0], vs_ref[0][:, None, :], pos, scale,
+                      cur=cur)
+        o_ref[0] = ctx.astype(o_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -729,7 +757,7 @@ def int8_decode_attention_cur_folded(q, k_codes, k_scale, v_codes, v_scale,
     if g8 != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
     fold = lambda c: c.reshape(l * b, hkv, s, d)        # noqa: E731
-    folds = lambda c: c.reshape(l * b, hkv, 1, s)       # noqa: E731
+    folds = lambda c: c.reshape(l * b, hkv, s)          # noqa: E731
     out = _attn_call_cur_folded(
         qg, fold(k_codes), folds(k_scale), fold(v_codes), folds(v_scale),
         kcur, kscur, vcur, vscur, positions, layer_idx, interpret=interpret)
