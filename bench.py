@@ -220,6 +220,22 @@ def main(_retry=True):
 
         cfg = llama.LlamaConfig.llama2_7b()
         params = packed_params(cfg, key)
+
+        # physical floor: one decode step must read every weight byte once;
+        # relay hiccups can corrupt time_op's trip-differencing into
+        # impossibly LOW samples (a 2.3 ms "7B step" was observed), which
+        # min() would otherwise promote to the headline
+        wbytes = sum(l.nbytes for l in jax.tree_util.tree_leaves(
+            {"layers": params["layers"], "lm_head": params["lm_head"]}))
+        t_floor = 0.9 * wbytes / 819e9
+
+        def bench_kv8():
+            t = bench_decode(cfg, params, kv_quant=True)
+            if t < t_floor:     # impossible sample — measure once more
+                t2 = bench_decode(cfg, params, kv_quant=True)
+                t = t2 if t2 >= t_floor else max(t, t2)
+            return t
+
         t_mxq = bench_decode(cfg, params)
         # The headline is the SERVING configuration: W2.8 weights + int8 KV
         # cache. KV bit-width is part of the reference's own config grid
@@ -228,7 +244,7 @@ def main(_retry=True):
         # consumed by the fused decode attention. The bf16-KV step (the
         # r1/r2 protocol) is kept in detail for cross-round comparability;
         # the bf16 dense baseline keeps its bf16 cache either way.
-        t_kv8 = bench_decode(cfg, params, kv_quant=True)
+        t_kv8 = bench_kv8()
 
         # A/B/C the t==1 cache-write strategy: fused in-kernel aliased
         # writes / folded-read + deferred commits / r3 layer-view +
@@ -242,7 +258,7 @@ def main(_retry=True):
             _a8.WRITE_PATH = pathname
             jax.clear_caches()
             try:
-                t_path[pathname] = bench_decode(cfg, params, kv_quant=True)
+                t_path[pathname] = bench_kv8()
             except Exception as e:      # noqa: BLE001 — report, keep going
                 t_path[pathname] = float("inf")
                 t_path[pathname + "_error"] = f"{type(e).__name__}: {e}"[:120]
@@ -253,7 +269,7 @@ def main(_retry=True):
         # decode-step timings through the relay swing 10-25% between
         # minutes-apart windows (docs/RESULTS.md r4); a second sample of
         # the winner and min() guards the headline against one bad window
-        t_path[best + "_rerun"] = bench_decode(cfg, params, kv_quant=True)
+        t_path[best + "_rerun"] = bench_kv8()
         t_kv8 = min(t_path[best], t_path[best + "_rerun"])
 
         # detail row: opt-in packed uniform-4b lm_head
