@@ -55,8 +55,7 @@ def time_op(step, x0, iters_lo=None, iters_hi=None, reps=3,
             lambda a: a * (1.0 + eps) if jnp.issubdtype(a.dtype, jnp.floating)
             else a, x0)
 
-    ts = []
-    for r in range(reps):
+    def one_rep(r):
         x = perturb(x0, 0.01 * (r + 1))
         jax.block_until_ready(x)
         t0 = time.perf_counter()
@@ -67,8 +66,21 @@ def time_op(step, x0, iters_lo=None, iters_hi=None, reps=3,
         t0 = time.perf_counter()
         fetch(many(const, x, iters_hi))
         t_hi = time.perf_counter() - t0
-        ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
-    return float(np.median(ts))
+        return (t_hi - t_lo) / (iters_hi - iters_lo)
+
+    ts = [one_rep(r) for r in range(reps)]
+    # an RTT spike on the LO run makes the difference negative (observed
+    # -165 us "kernel times" through the relay) — those samples carry no
+    # information; drop them and re-measure rather than let them poison
+    # the median
+    good = [t for t in ts if t > 0]
+    extra = 0
+    while not good and extra < 2 * reps:
+        extra += 1
+        t = one_rep(reps + extra)
+        if t > 0:
+            good.append(t)
+    return float(np.median(good)) if good else float("inf")
 
 
 def fold_to_input(y, k: int, dtype=None):
