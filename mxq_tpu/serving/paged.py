@@ -79,19 +79,73 @@ class PagedPool:
             )
 
     # -- host-side page accounting -------------------------------------
+    # Prefix caching (vLLM-style): full prompt pages are content-addressed
+    # by a CHAINED hash (h_i = H(h_{i-1} || page tokens), so equal ids
+    # imply equal full prefixes) and shared read-only between sequences
+    # via refcounts. A released page keeps its index entry while it sits
+    # in the free list; reallocating it for new content invalidates it.
+    def _lazy_prefix_state(self):
+        if not hasattr(self, "refs"):
+            self.refs = np.zeros(_pool_codes(self.k_pages).shape[2],
+                                 np.int32)
+            self.prefix_index = {}      # chained hash -> page id
+            self.page_key = {}          # page id -> chained hash
+
+    def alloc_page(self) -> int:
+        self._lazy_prefix_state()
+        if not self.free_pages:
+            raise RuntimeError("KV pool exhausted")
+        # prefer pages NOT holding cached prefixes; cannibalize the
+        # oldest-freed cached page only when nothing else is left
+        for i in range(len(self.free_pages) - 1, -1, -1):
+            if self.free_pages[i] not in self.page_key:
+                p = self.free_pages.pop(i)
+                break
+        else:
+            p = self.free_pages.pop(0)
+        h = self.page_key.pop(p, None)
+        if h is not None and self.prefix_index.get(h) == p:
+            del self.prefix_index[h]    # page reused for new content
+        self.refs[p] = 1
+        return p
+
+    def acquire_cached(self, h) -> Optional[int]:
+        """Attach a cached prefix page (refcount++), or None on miss."""
+        self._lazy_prefix_state()
+        p = self.prefix_index.get(h)
+        if p is None:
+            return None
+        if self.refs[p] == 0:
+            try:
+                self.free_pages.remove(p)
+            except ValueError:          # already reallocated
+                return None
+        self.refs[p] += 1
+        return p
+
+    def register_prefix(self, h, page_id: int) -> None:
+        self._lazy_prefix_state()
+        if h not in self.prefix_index:
+            self.prefix_index[h] = int(page_id)
+            self.page_key[int(page_id)] = h
+
     def ensure_capacity(self, slot: int, new_len: int) -> None:
         need = -(-new_len // self.page_size)
         have = int(np.sum(self.page_tables[slot] != 0))
         while have < need:
-            if not self.free_pages:
-                raise RuntimeError("KV pool exhausted")
-            self.page_tables[slot, have] = self.free_pages.pop()
+            self.page_tables[slot, have] = self.alloc_page()
             have += 1
 
     def release(self, slot: int) -> None:
+        self._lazy_prefix_state()
         for j, pg in enumerate(self.page_tables[slot]):
             if pg != 0:
-                self.free_pages.append(int(pg))
+                self.refs[pg] -= 1
+                if self.refs[pg] <= 0:
+                    self.refs[pg] = 0
+                    # cached prefix pages stay indexed while free: a
+                    # later identical prompt re-acquires them from here
+                    self.free_pages.append(int(pg))
             self.page_tables[slot, j] = 0
         self.lengths[slot] = 0
 
@@ -486,12 +540,34 @@ class PagedEngine:
             cap = self.pool.page_tables.shape[1] * ps
             tail = req.prompt[-(cap - 1):]
             t = len(tail)
+            # PREFIX CACHING: chained content hashes of the prompt's FULL
+            # pages; leading pages already resident (from an earlier
+            # request sharing the prefix) attach to this slot's table by
+            # refcount and their prefill is skipped entirely. Capped at
+            # (t-1)//ps so the last prompt token is always computed (its
+            # logits sample the first token).
+            import hashlib
+            hashes = []
+            h = b"prefix-root"
+            for i in range((t - 1) // ps):
+                h = hashlib.sha1(
+                    h + np.asarray(tail[i * ps:(i + 1) * ps],
+                                   np.int32).tobytes()).digest()
+                hashes.append(h)
+            matched = 0
+            for i, hh in enumerate(hashes):
+                p = self.pool.acquire_cached(hh)
+                if p is None:
+                    break
+                self.pool.page_tables[slot, i] = p
+                matched += 1
+            off0 = matched * ps
             # Fixed-size prefill chunks (multiple of the page size): prompts
             # beyond one chunk continue via paged_prefill_chunk, so compile
             # count stays bounded and long prompts condition in full.
             chunk = -(-min(max(self.prefill_bucket, ps), cap) // ps) * ps
             first = None
-            for off in range(0, t, chunk):
+            for off in range(off0, t, chunk):
                 sub = tail[off:off + chunk]
                 ts = len(sub)
                 bucket = min(chunk, -(-ts // ps) * ps)
@@ -517,6 +593,10 @@ class PagedEngine:
                             jnp.int32(ts), jnp.int32(off), jnp.array(pages),
                             chunk_pages, pkey, self.cfg, sample=self.sample)
             first = int(first)          # blocks: serialized after in-flight
+            # publish this prompt's own full pages for future prefix hits
+            for i in range(matched, len(hashes)):
+                self.pool.register_prefix(
+                    hashes[i], int(self.pool.page_tables[slot, i]))
             req.t_first = _now()        # prefill's own token = TTFT anchor
             req.generated = [first]
             self.slot_req[slot] = req

@@ -134,3 +134,77 @@ def test_paged_engine_int8_kv():
     assert agree >= n_new - 1, (req.generated, ref)
     # pages released
     assert (e.pool.page_tables == 0).all()
+
+
+def test_prefix_caching_shares_pages_and_matches_greedy():
+    """Identical prompts share their full prefix pages (refcounted); the
+    cached-prefix generation is token-identical to the uncached one."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(2))
+    prompt = (np.arange(40, dtype=np.int32) % 50) + 3   # 2 full pages @16
+    n_new = 4
+    ref = greedy_reference(params, CFG, prompt, n_new)
+
+    e = paged.PagedEngine(params, CFG, num_slots=2, total_pages=32,
+                          page_size=16, max_len=128, prefill_bucket=16)
+    r1 = e.submit(prompt, max_new_tokens=n_new)
+    e.run()
+    assert r1.generated[:n_new] == ref
+    # prompt pages are now cached (refcount 0, still indexed)
+    assert len(e.pool.prefix_index) == 2
+    free_before = len(e.pool.free_pages)
+
+    r2 = e.submit(prompt, max_new_tokens=n_new)
+    e.run()
+    assert r2.generated[:n_new] == ref          # exactness through cache
+    # the two prefix pages were RE-ACQUIRED, not re-allocated: the pool
+    # consumed fewer fresh pages than a cold prefill would
+    assert len(e.pool.free_pages) == free_before
+    assert (e.pool.refs == 0).all()
+
+    # different prompt with the same FIRST page shares only that page
+    p2 = prompt.copy()
+    p2[20:] = 7
+    r3 = e.submit(p2, max_new_tokens=n_new)
+    e.run()
+    ref3 = greedy_reference(params, CFG, p2, n_new)
+    assert r3.generated[:n_new] == ref3
+    assert len(e.pool.prefix_index) >= 3        # second page of p2 added
+
+
+def test_prefix_cache_concurrent_sharing_and_invalidation():
+    """Two live sequences share prefix pages (refcount 2); reallocating a
+    cached page for new content drops its index entry."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(3))
+    prompt = (np.arange(36, dtype=np.int32) % 50) + 3
+    e = paged.PagedEngine(params, CFG, num_slots=2, total_pages=16,
+                          page_size=16, max_len=64, prefill_bucket=16)
+    r1 = e.submit(prompt, max_new_tokens=3)
+    r2 = e.submit(prompt, max_new_tokens=3)
+    e.run()
+    assert r1.generated == r2.generated
+    assert (e.pool.refs == 0).all()
+    # churn the pool with distinct prompts until cached pages recycle
+    for i in range(6):
+        e.submit((np.arange(36, dtype=np.int32) % 40) + 5 + i,
+                 max_new_tokens=2)
+    e.run()
+    # every index entry must point at a page whose content still matches
+    # (invariant: reallocated pages were dropped from the index)
+    for h, p in e.pool.prefix_index.items():
+        assert e.pool.page_key.get(p) == h
+
+
+def test_prefix_caching_int8_pool():
+    """Prefix sharing over the QUANTIZED page pool stays exact (codes are
+    deterministic functions of the prefix)."""
+    params = llama.init_params(CFG, jax.random.PRNGKey(4))
+    prompt = (np.arange(300, dtype=np.int32) % 50) + 3  # 2 full pages @128
+    e = paged.PagedEngine(params, CFG, num_slots=2, total_pages=12,
+                          max_len=512, prefill_bucket=128, kv_bits=8)
+    r1 = e.submit(prompt, max_new_tokens=3)
+    e.run()
+    assert len(e.pool.prefix_index) == 2
+    r2 = e.submit(prompt, max_new_tokens=3)
+    e.run()
+    assert r2.generated == r1.generated
+    assert (e.pool.refs == 0).all()
