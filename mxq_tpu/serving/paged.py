@@ -12,6 +12,13 @@ Layout:
   k_pages / v_pages : [L, KVH, total_pages, page_size, D]   (bf16)
   page_tables       : [num_slots, pages_per_seq] int32 (host-managed)
   lengths           : [num_slots] int32
+
+Known perf headroom: the decode body slices each layer's pool view
+(dynamic_index over L) before attending — a [KVH, L, P, ps, D] layout
+would fold (L, P) into one page axis (pure bitcast) so the paged kernels
+could address layer pages via scalar prefetch with no per-layer gather,
+like the dense engine's folded-stack attention. Not yet done; the dense
+slot engine remains the throughput-optimal decode path.
 """
 
 from __future__ import annotations
