@@ -251,7 +251,6 @@ def main(_retry=True):
         # deferred commits. All exact; the fastest wins the headline.
         from mxq_tpu.ops import attn_int8 as _a8
         t_path = {_a8.WRITE_PATH: t_kv8}
-        base = _a8.WRITE_PATH
         for pathname in ("fused", "folded", "deferred"):
             if pathname in t_path:
                 continue
@@ -300,15 +299,20 @@ def main(_retry=True):
                         else round(v * 1e6, 1) if isinstance(v, float)
                         else v)
                     for k, v in layout_times.items()},
-                "t_step_mxq_kv8_ms": round(t_kv8 * 1e3, 3),
+                "t_step_mxq_kv8_ms": (round(t_kv8 * 1e3, 3)
+                                      if np.isfinite(t_kv8) else None),
                 "kv8_write_path": best,
                 "kv8_write_paths_ms": {
                     k: (round(v * 1e3, 3)
                         if isinstance(v, float) and np.isfinite(v)
                         else v if isinstance(v, str) else None)
                     for k, v in t_path.items()},
-                "t_step_mxq_kv8_u4head_ms": round(t_kv8_u4h * 1e3, 3),
-                "tok_s_chip_kv8_u4head": round(BATCH / t_kv8_u4h, 1),
+                "t_step_mxq_kv8_u4head_ms": (
+                    round(t_kv8_u4h * 1e3, 3)
+                    if np.isfinite(t_kv8_u4h) else None),
+                "tok_s_chip_kv8_u4head": (
+                    round(BATCH / t_kv8_u4h, 1)
+                    if np.isfinite(t_kv8_u4h) and t_kv8_u4h > 0 else None),
                 # the r1/r2 protocol row (bf16 KV cache), for comparability
                 "t_step_mxq_bf16kv_ms": round(t_mxq * 1e3, 3),
                 "tok_s_chip_bf16kv": round(BATCH / t_mxq, 1),

@@ -559,7 +559,7 @@ def forward(params, input_ids, cfg: LlamaConfig, *, positions=None,
             # fused-write (len 2): (ks, vs) one-token SCALE rows — the code
             # rows were written in-kernel. r3 deferred-write (len 4):
             # (kc, ks, vc, vs) codes+scales commit here in one stacked
-            # update (attn_int8.FUSED_WRITE switches the paths).
+            # update (attn_int8.WRITE_PATH selects fused/folded/deferred).
             pos = cache_pos
             updc = lambda buf, val: jax.lax.dynamic_update_slice(
                 buf, val.astype(buf.dtype), (0, 0, 0, pos, 0))

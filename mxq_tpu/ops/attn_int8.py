@@ -322,11 +322,13 @@ def _kernel_cur_write(pos_ref, idx_ref, q_ref, kc_ref, ks_ref, vc_ref,
     b = pl.program_id(0)
     pos = pos_ref[b]
     cur = (kcur_ref[0], kscur_ref[0], vcur_ref[0], vscur_ref[0])
-    # scale blocks are 3-D (1, hb, s) — the 4-D [L*B, H, 1, S] view would
-    # force XLA to COPY the whole folded scale stack every scan iteration
-    # (a tiled-layout change; ~0.8 ms/step on 7B, r4 trace copy.138/139)
-    ctx = _attend(q_ref[0], kc_ref[0], ks_ref[0][:, None, :], vc_ref[0],
-                  vs_ref[0][:, None, :], pos, scale, cur=cur)
+    # scale blocks are 3-D (1, hb, s) when S is lane-aligned (avoids the
+    # full-stack copy a 4-D view costs per scan iteration — r4 trace
+    # copy.138/139); 4-D otherwise (Mosaic cannot lower the expand)
+    ks = ks_ref[0][:, None, :] if ks_ref.ndim == 3 else ks_ref[0]
+    vs = vs_ref[0][:, None, :] if vs_ref.ndim == 3 else vs_ref[0]
+    ctx = _attend(q_ref[0], kc_ref[0], ks, vc_ref[0], vs, pos, scale,
+                  cur=cur)
     o_ref[0] = ctx.astype(o_ref.dtype)
     # commit the current token's code rows for this (batch, head-block):
     # the output blocks are (1, hb, 8, d) windows of the ALIASED cache
@@ -374,6 +376,12 @@ def _attn_call_cur_write(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
     grid = (b, hkv // hb)
     scale = 1.0 / float(np.sqrt(d))
     nb = b
+    # ks/vs arrive [L*B, H, S]. The 3-D block + in-kernel [:, None, :]
+    # expand avoids the full-stack copy a [L*B, H, 1, S] view costs per
+    # scan iteration (r4 trace) — but Mosaic can only lower that expand
+    # when S is a lane multiple; other shapes keep the 4-D view (the copy
+    # is the price of an unaligned cache length).
+    scale3d = s % 128 == 0
 
     def cache_spec(shp3):
         return pl.BlockSpec(
@@ -382,12 +390,11 @@ def _attn_call_cur_write(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
             memory_space=pltpu.VMEM)
 
     def scale_spec():
-        # 3-D [L*B, H, S] blocks — a [L*B, H, 1, S] view is NOT a bitcast
-        # of the [L, B, H, S] cache layout and costs a full-stack copy
-        # per scan iteration (r4 trace)
-        return pl.BlockSpec(
-            (1, hb, s), lambda bi, hi, p, i: (i[0] * nb + bi, hi, 0),
-            memory_space=pltpu.VMEM)
+        if scale3d:
+            return pl.BlockSpec(
+                (1, hb, s), lambda bi, hi, p, i: (i[0] * nb + bi, hi, 0),
+                memory_space=pltpu.VMEM)
+        return cache_spec((1, s))
 
     def cur_spec(shp3):
         return pl.BlockSpec(
@@ -469,9 +476,11 @@ def int8_decode_attention_fused_write(q, k_codes, k_scale, v_codes, v_scale,
     if g8 != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
     fold = lambda c: c.reshape(l * b, hkv, s, d)        # noqa: E731
-    # 3-D scale fold: merging leading dims is a pure bitcast of the
-    # [L, B, H, S] layout; inserting a size-1 dim is NOT (r4 trace)
-    folds = lambda c: c.reshape(l * b, hkv, s)          # noqa: E731
+    # 3-D scale fold when S is lane-aligned: merging leading dims is a
+    # pure bitcast; inserting a size-1 dim is not (r4 trace). Unaligned S
+    # keeps the 4-D view (Mosaic limitation; costs the copy).
+    folds = (lambda c: c.reshape(l * b, hkv, s)) if s % 128 == 0 \
+        else (lambda c: c.reshape(l * b, hkv, 1, s))     # noqa: E731
     out, kc2, vc2 = _attn_call_cur_write(
         qg, fold(k_codes), folds(k_scale), fold(v_codes), folds(v_scale),
         kcur, kscur, vcur, vscur, positions, layer_idx, interpret=interpret)
@@ -694,12 +703,18 @@ def _attn_call_cur_folded(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
             (1, hb) + shp3, lambda bi, hi, lens, i: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM)
 
+    scale3d = s % 128 == 0
+
     def scale_spec():
-        # 3-D [L*B, H, S] blocks (a [.., 1, S] view costs a full-stack
-        # copy per scan iteration — r4 trace, see _attn_call_cur_write)
-        return pl.BlockSpec(
-            (1, hb, s), lambda bi, hi, lens, i: (i[0] * nb + bi, hi, 0),
-            memory_space=pltpu.VMEM)
+        # 3-D [L*B, H, S] blocks when lane-aligned (a [.., 1, S] view
+        # costs a full-stack copy per scan iteration — r4 trace); 4-D
+        # otherwise (see _attn_call_cur_write)
+        if scale3d:
+            return pl.BlockSpec(
+                (1, hb, s),
+                lambda bi, hi, lens, i: (i[0] * nb + bi, hi, 0),
+                memory_space=pltpu.VMEM)
+        return cache_spec((1, s))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,       # positions, idx
@@ -724,8 +739,9 @@ def _attn_call_cur_folded(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
         bq = pl.program_id(0)
         pos = pos_ref[bq]
         cur = (kcur_ref[0], kscur_ref[0], vcur_ref[0], vscur_ref[0])
-        ctx = _attend(q_ref[0], kc_ref[0], ks_ref[0][:, None, :],
-                      vc_ref[0], vs_ref[0][:, None, :], pos, scale,
+        ks = ks_ref[0][:, None, :] if ks_ref.ndim == 3 else ks_ref[0]
+        vs = vs_ref[0][:, None, :] if vs_ref.ndim == 3 else vs_ref[0]
+        ctx = _attend(q_ref[0], kc_ref[0], ks, vc_ref[0], vs, pos, scale,
                       cur=cur)
         o_ref[0] = ctx.astype(o_ref.dtype)
 
@@ -757,7 +773,8 @@ def int8_decode_attention_cur_folded(q, k_codes, k_scale, v_codes, v_scale,
     if g8 != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
     fold = lambda c: c.reshape(l * b, hkv, s, d)        # noqa: E731
-    folds = lambda c: c.reshape(l * b, hkv, s)          # noqa: E731
+    folds = (lambda c: c.reshape(l * b, hkv, s)) if s % 128 == 0 \
+        else (lambda c: c.reshape(l * b, hkv, 1, s))     # noqa: E731
     out = _attn_call_cur_folded(
         qg, fold(k_codes), folds(k_scale), fold(v_codes), folds(v_scale),
         kcur, kscur, vcur, vscur, positions, layer_idx, interpret=interpret)

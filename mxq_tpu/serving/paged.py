@@ -24,6 +24,7 @@ slot engine remains the throughput-optimal decode path.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import time
 from functools import partial
 from typing import Optional
@@ -535,6 +536,57 @@ class PagedEngine:
         self._all_reqs.append(req)
         return req
 
+
+    def _prefill_slot(self, slot, req, tail, t, cap, ps):
+        """Prefix-cache match + chunked prefill for one admitted request.
+        Returns (first_token_array, matched_pages, page_hashes)."""
+        hashes = []
+        h = b"prefix-root"
+        for i in range((t - 1) // ps):
+            h = hashlib.sha1(
+                h + np.asarray(tail[i * ps:(i + 1) * ps],
+                               np.int32).tobytes()).digest()
+            hashes.append(h)
+        matched = 0
+        for i, hh in enumerate(hashes):
+            p = self.pool.acquire_cached(hh)
+            if p is None:
+                break
+            self.pool.page_tables[slot, i] = p
+            matched += 1
+        off0 = matched * ps
+        # Fixed-size prefill chunks (multiple of the page size): prompts
+        # beyond one chunk continue via paged_prefill_chunk, so compile
+        # count stays bounded and long prompts condition in full.
+        chunk = -(-min(max(self.prefill_bucket, ps), cap) // ps) * ps
+        first = None
+        for off in range(off0, t, chunk):
+            sub = tail[off:off + chunk]
+            ts = len(sub)
+            bucket = min(chunk, -(-ts // ps) * ps)
+            self.pool.ensure_capacity(slot, off + bucket)
+            pages = self.pool.page_tables[slot]
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, :ts] = sub
+            pkey = jax.random.fold_in(self._key_prefill, req.uid)
+            if off == 0:
+                slot_pages = jnp.array(pages[:bucket // ps])
+                first, self.pool.k_pages, self.pool.v_pages = \
+                    paged_prefill(self.params, self.pool.k_pages,
+                                  self.pool.v_pages, jnp.array(ids), ts,
+                                  slot_pages, pkey, self.cfg,
+                                  sample=self.sample)
+            else:
+                chunk_pages = jnp.array(
+                    pages[off // ps: off // ps + bucket // ps])
+                first, self.pool.k_pages, self.pool.v_pages = \
+                    paged_prefill_chunk(
+                        self.params, self.pool.k_pages,
+                        self.pool.v_pages, jnp.array(ids),
+                        jnp.int32(ts), jnp.int32(off), jnp.array(pages),
+                        chunk_pages, pkey, self.cfg, sample=self.sample)
+        return first, matched, hashes
+
     def _admit(self, finished: list) -> None:
         ps = self.pool.page_size
         for slot in range(self.num_slots):
@@ -553,52 +605,17 @@ class PagedEngine:
             # refcount and their prefill is skipped entirely. Capped at
             # (t-1)//ps so the last prompt token is always computed (its
             # logits sample the first token).
-            import hashlib
-            hashes = []
-            h = b"prefix-root"
-            for i in range((t - 1) // ps):
-                h = hashlib.sha1(
-                    h + np.asarray(tail[i * ps:(i + 1) * ps],
-                                   np.int32).tobytes()).digest()
-                hashes.append(h)
-            matched = 0
-            for i, hh in enumerate(hashes):
-                p = self.pool.acquire_cached(hh)
-                if p is None:
-                    break
-                self.pool.page_tables[slot, i] = p
-                matched += 1
-            off0 = matched * ps
-            # Fixed-size prefill chunks (multiple of the page size): prompts
-            # beyond one chunk continue via paged_prefill_chunk, so compile
-            # count stays bounded and long prompts condition in full.
-            chunk = -(-min(max(self.prefill_bucket, ps), cap) // ps) * ps
-            first = None
-            for off in range(off0, t, chunk):
-                sub = tail[off:off + chunk]
-                ts = len(sub)
-                bucket = min(chunk, -(-ts // ps) * ps)
-                self.pool.ensure_capacity(slot, off + bucket)
-                pages = self.pool.page_tables[slot]
-                ids = np.zeros((1, bucket), np.int32)
-                ids[0, :ts] = sub
-                pkey = jax.random.fold_in(self._key_prefill, req.uid)
-                if off == 0:
-                    slot_pages = jnp.array(pages[:bucket // ps])
-                    first, self.pool.k_pages, self.pool.v_pages = \
-                        paged_prefill(self.params, self.pool.k_pages,
-                                      self.pool.v_pages, jnp.array(ids), ts,
-                                      slot_pages, pkey, self.cfg,
-                                      sample=self.sample)
-                else:
-                    chunk_pages = jnp.array(
-                        pages[off // ps: off // ps + bucket // ps])
-                    first, self.pool.k_pages, self.pool.v_pages = \
-                        paged_prefill_chunk(
-                            self.params, self.pool.k_pages,
-                            self.pool.v_pages, jnp.array(ids),
-                            jnp.int32(ts), jnp.int32(off), jnp.array(pages),
-                            chunk_pages, pkey, self.cfg, sample=self.sample)
+            try:
+                first, matched, hashes = self._prefill_slot(slot, req, tail,
+                                                            t, cap, ps)
+            except Exception:
+                # roll back this slot's acquired/allocated pages so a
+                # caught pool-exhaustion cannot leave foreign pages in the
+                # table (a later admit would adopt and overwrite them,
+                # corrupting prefixes other live sequences still read)
+                self.pool.release(slot)
+                self.queue.insert(0, req)
+                raise
             first = int(first)          # blocks: serialized after in-flight
             # publish this prompt's own full pages for future prefix hits
             for i in range(matched, len(hashes)):
