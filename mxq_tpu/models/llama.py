@@ -308,54 +308,17 @@ def attention(x, layer, cfg: LlamaConfig, cos, sin, mask, cache=None,
             vc, vsc = _kvc.quantize_kv_headmajor(v)
             if t == 1:
                 # fused decode attention consumes the int8 codes directly —
-                # HBM reads stay int8 and no full-cache dequant materializes
-                # (the round-1 regression, docs/RESULTS.md).
-                #
-                # FUSED WRITE (r4): the kernel reads layer ``idx`` straight
-                # out of the FOLDED [L*B, H, S, D] stack (scalar-prefetch
-                # index maps; 4-D blocks, so none of the r3 5-D-block DMA
-                # penalty) and commits the current token's code rows
-                # in-kernel through aliased outputs. This removes BOTH the
-                # per-layer layer-view copies (~0.79 ms/step on 7B, r4
-                # trace) and the post-scan code commits (~0.24 ms/step).
-                # The current token still enters the softmax out-of-cache
-                # (strict < pos mask — same math as write-then-attend);
-                # only the tiny scale rows ride out of the scan as
-                # "pending" and commit in ONE stacked update in forward().
+                # HBM reads stay int8 and no full-cache dequant
+                # materializes (the round-1 regression, docs/RESULTS.md).
+                # The write strategy (fused in-kernel / folded read /
+                # layer-view) lives in attn_int8.decode_attend_update —
+                # ONE dispatch shared with the engine's multipos forward;
+                # the returned pend commits post-scan in forward().
                 from mxq_tpu.ops import attn_int8 as _a8
                 positions = jnp.full((b,), cache_pos, jnp.int32)
-                if _a8.WRITE_PATH == "fused":
-                    ctx, kc2, vc2 = _a8.int8_decode_attention_fused_write(
-                        q[:, 0], cache["k_codes"], cache["k_scale"],
-                        cache["v_codes"], cache["v_scale"],
-                        kc, ksc, vc, vsc, idx, positions)
-                    new_cache = dict(cache)
-                    new_cache["k_codes"] = kc2
-                    new_cache["v_codes"] = vc2
-                    new_cache["pending"] = (ksc, vsc)
-                elif _a8.WRITE_PATH == "folded":
-                    # folded-stack READ only; codes+scales commit
-                    # post-scan like the r3 path
-                    ctx = _a8.int8_decode_attention_cur_folded(
-                        q[:, 0], cache["k_codes"], cache["k_scale"],
-                        cache["v_codes"], cache["v_scale"],
-                        kc, ksc, vc, vsc, idx, positions)
-                    new_cache = dict(cache)
-                    new_cache["pending"] = (kc, ksc, vc, vsc)
-                else:
-                    # r3 DEFERRED-WRITE path (A/B reference): slice the
-                    # layer view, attend out-of-cache, ride code+scale
-                    # rows out of the scan for one stacked commit
-                    layer_view = {kk: jax.lax.dynamic_index_in_dim(
-                        cache[kk], idx, 0, keepdims=False)
-                        for kk in ("k_codes", "k_scale",
-                                   "v_codes", "v_scale")}
-                    ctx = _a8.int8_decode_attention_cur(
-                        q[:, 0], layer_view["k_codes"],
-                        layer_view["k_scale"], layer_view["v_codes"],
-                        layer_view["v_scale"], kc, ksc, vc, vsc, positions)
-                    new_cache = dict(cache)
-                    new_cache["pending"] = (kc, ksc, vc, vsc)
+                ctx, new_cache, pend = _a8.decode_attend_update(
+                    cache, q[:, 0], kc, ksc, vc, vsc, idx, positions)
+                new_cache["pending"] = pend
                 ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
                 return (quant_linear(ctx, layer["o_proj"], cfg, train),
                         new_cache)

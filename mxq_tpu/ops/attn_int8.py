@@ -779,3 +779,39 @@ def int8_decode_attention_cur_folded(q, k_codes, k_scale, v_codes, v_scale,
         qg, fold(k_codes), folds(k_scale), fold(v_codes), folds(v_scale),
         kcur, kscur, vcur, vscur, positions, layer_idx, interpret=interpret)
     return out[:, :, :g, :].reshape(b, hq, d)
+
+
+def decode_attend_update(cache: dict, q1, kc, ksc, vc, vsc, layer_idx,
+                         positions):
+    """t==1 int8-KV decode attention with the WRITE_PATH strategy applied —
+    the ONE dispatch point shared by llama.attention and the engine's
+    multipos forward (keeping four hand-copies of this branch in sync was
+    a maintenance hazard).
+
+    cache: the stacked quant cache dict (k/v codes [L,B,H,S,D], scales
+    [L,B,H,S]); q1 [B, H_q, D]; kc/ksc/vc/vsc: the current token's
+    quantized K/V rows; positions [B].
+    Returns (ctx [B, H_q, D] f32, new_cache, pend) where pend is the
+    pending tuple the caller commits post-scan: (ks, vs) scale rows for
+    the fused path (codes were written in-kernel), (kc, ks, vc, vs) for
+    folded/deferred.
+    """
+    if WRITE_PATH == "fused":
+        ctx, kc2, vc2 = int8_decode_attention_fused_write(
+            q1, cache["k_codes"], cache["k_scale"],
+            cache["v_codes"], cache["v_scale"],
+            kc, ksc, vc, vsc, layer_idx, positions)
+        return ctx, dict(cache, k_codes=kc2, v_codes=vc2), (ksc, vsc)
+    if WRITE_PATH == "folded":
+        ctx = int8_decode_attention_cur_folded(
+            q1, cache["k_codes"], cache["k_scale"],
+            cache["v_codes"], cache["v_scale"],
+            kc, ksc, vc, vsc, layer_idx, positions)
+    else:       # "deferred" (r3): layer-view copy + post-scan commits
+        view = {kk: jax.lax.dynamic_index_in_dim(
+            cache[kk], layer_idx, 0, keepdims=False)
+            for kk in ("k_codes", "k_scale", "v_codes", "v_scale")}
+        ctx = int8_decode_attention_cur(
+            q1, view["k_codes"], view["k_scale"], view["v_codes"],
+            view["v_scale"], kc, ksc, vc, vsc, positions)
+    return ctx, dict(cache), (kc, ksc, vc, vsc)

@@ -671,32 +671,9 @@ def _forward_multipos(params, tokens, cfg, caches, positions):
                 # commit in one stacked scatter after the scan (the
                 # per-layer view/update chain this replaces cost ~1.1 ms of
                 # the 8.9 ms 7B step — docs/RESULTS.md r4 trace).
-                if _a8.WRITE_PATH == "fused":
-                    ctx, kc2, vc2 = _a8.int8_decode_attention_fused_write(
-                        q[:, 0], cache["k_codes"], cache["k_scale"],
-                        cache["v_codes"], cache["v_scale"],
-                        kc, ks, vc, vs, idx, positions)
-                    ctx = ctx[:, None]
-                    cache = dict(cache, k_codes=kc2, v_codes=vc2)
-                    pend = (ks, vs)
-                elif _a8.WRITE_PATH == "folded":
-                    ctx = _a8.int8_decode_attention_cur_folded(
-                        q[:, 0], cache["k_codes"], cache["k_scale"],
-                        cache["v_codes"], cache["v_scale"],
-                        kc, ks, vc, vs, idx, positions)[:, None]
-                    pend = (kc, ks, vc, vs)
-                else:
-                    # r3 deferred-write path (A/B reference)
-                    layer_view = {kk: jax.lax.dynamic_index_in_dim(
-                        cache[kk], idx, 0, keepdims=False)
-                        for kk in ("k_codes", "k_scale",
-                                   "v_codes", "v_scale")}
-                    ctx = _a8.int8_decode_attention_cur(
-                        q[:, 0], layer_view["k_codes"],
-                        layer_view["k_scale"], layer_view["v_codes"],
-                        layer_view["v_scale"], kc, ks, vc, vs,
-                        positions)[:, None]
-                    pend = (kc, ks, vc, vs)
+                ctx, cache, pend = _a8.decode_attend_update(
+                    cache, q[:, 0], kc, ks, vc, vs, idx, positions)
+                ctx = ctx[:, None]
             else:
                 def scat(buf, val):
                     # buf [L, B, H, S, ...]; advanced indices (idx, rows,
