@@ -362,15 +362,20 @@ class MultipleChoiceTask:
         for d, pre in zip(docs, prefixes):
             start = len(reqs)
             for ch in d.choices:
+                # reference-exact continuation: " " + choice with NO strip
+                # (base.py:609 `" {}".format(choice)`)
                 reqs.append((tokenize(pre + d.context),
-                             tokenize(" " + ch.strip())))
+                             tokenize(" " + ch)))
             spans.append((start, len(reqs), d))
         scores = lm.loglikelihood(reqs)
         hits, hitsn = [], []
         preds = []                       # (doc, argmax pick) per document
         for start, end, d in spans:
             lls = [scores[k][0] for k in range(start, end)]
-            lens = [max(len(c) + 1, 1) for c in d.choices]
+            # acc_norm normalizes by the RAW choice char length (base.py:617
+            # `completion_len = len(choice)` — no leading space, no +1); the
+            # max(...,1) only guards an empty choice the reference never has
+            lens = [max(len(c), 1) for c in d.choices]
             pick = int(np.argmax(lls))
             pickn = int(np.argmax([l / n for l, n in zip(lls, lens)]))
             hits.append(float(pick == d.gold))

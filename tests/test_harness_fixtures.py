@@ -130,8 +130,9 @@ def test_obqa_bare_stem_context():
 
 
 def test_mc_continuation_tokenization_protocol():
-    """The evaluate() loop must score ' ' + choice.strip() — the harness's
-    continuation spacing (base.py MultipleChoiceTask construct_requests)."""
+    """The evaluate() loop must score ' ' + choice with NO strip — the
+    reference's exact continuation spacing (base.py:609
+    `" {}".format(choice)`); a choice with stray whitespace keeps it."""
     captured = []
 
     class LM:
@@ -151,9 +152,9 @@ def test_mc_continuation_tokenization_protocol():
                           dtype=np.int32)
 
     T().evaluate(LM(), tok)
-    # continuation text is " a" and " b" (strip then prepend one space)
+    # continuation text is " " + choice verbatim: " a" and "  b "
     assert captured[0][1][0] == len(" a")
-    assert captured[1][1][0] == len(" b")
+    assert captured[1][1][0] == len("  b ")
 
 
 def test_copa_connector_and_lowercase():
