@@ -373,11 +373,13 @@ class MultipleChoiceTask:
         for start, end, d in spans:
             lls = [scores[k][0] for k in range(start, end)]
             # acc_norm normalizes by the RAW choice char length (base.py:617
-            # `completion_len = len(choice)` — no leading space, no +1); the
-            # max(...,1) only guards an empty choice the reference never has
-            lens = [max(len(c), 1) for c in d.choices]
+            # `completion_len = len(choice)` — no leading space, no +1). An
+            # empty choice (which the reference never has) scores -inf, the
+            # strict analogue of the reference's ll/0 = -inf: it can never
+            # win the normalized argmax.
             pick = int(np.argmax(lls))
-            pickn = int(np.argmax([l / n for l, n in zip(lls, lens)]))
+            pickn = int(np.argmax([l / len(c) if c else -np.inf
+                                   for l, c in zip(lls, d.choices)]))
             hits.append(float(pick == d.gold))
             hitsn.append(float(pickn == d.gold))
             preds.append((d, pick))
@@ -479,9 +481,30 @@ class HellaSwag(MultipleChoiceTask):
     name = "hellaswag"
 
     @staticmethod
-    def convert(rows) -> list[MCDoc]:
-        return [MCDoc(d["ctx"], d["endings"], int(d["label"]))
-                for d in rows]
+    def preprocess(text: str) -> str:
+        """Task-level cleanup, ported from the reference
+        (tasks/hellaswag.py preprocess): strip, WikiHow "[title]"/bracket
+        artifacts, double-space collapse."""
+        import re
+        text = text.strip()
+        text = text.replace(" [title]", ". ")
+        text = re.sub(r"\[.*?\]", "", text)
+        text = text.replace("  ", " ")
+        return text
+
+    @classmethod
+    def convert(cls, rows) -> list[MCDoc]:
+        """Reference-exact doc construction (tasks/hellaswag.py
+        _process_doc): query = preprocess(activity_label + ": " + ctx_a +
+        " " + ctx_b.capitalize()); choices = preprocess(ending)."""
+        out = []
+        for d in rows:
+            ctx = d["ctx_a"] + " " + d["ctx_b"].capitalize()
+            out.append(MCDoc(
+                cls.preprocess(d["activity_label"] + ": " + ctx),
+                [cls.preprocess(e) for e in d["endings"]],
+                int(d["label"])))
+        return out
 
     def docs(self):
         def load():

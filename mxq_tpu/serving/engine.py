@@ -236,13 +236,26 @@ class Engine:
         """
         cfg = self.cfg
         toks = jnp.where(use_chain, chained, host_toks)[:, None]
+        max_len = self.ecfg.max_len
 
         def sub(carry, i):
             toks, caches = carry
+            # NEAR-CAPACITY CLAMP: a slot admitted at plen = max_len-1 gets
+            # `horizon` steps dispatched with a fixed active mask, so later
+            # steps would write KV at positions >= max_len — past the cache
+            # and past the fused write kernel's own invariant
+            # (ops/attn_int8.py "Requires S > max(positions)"). Clamp the
+            # write row to the last one (the slot is retired by host
+            # bookkeeping after its real last token, so the re-written row
+            # is never read: attention masks rows > pos and a later
+            # occupant overwrites before reading) and zero the overflow
+            # steps' tokens like inactive slots'.
+            in_range = positions + i < max_len
+            pos_i = jnp.where(in_range, positions + i, max_len - 1)
             logits, caches = _forward_multipos(params, toks, cfg, caches,
-                                               positions + i)
+                                               pos_i)
             nxt = self._pick(logits[:, -1], jax.random.fold_in(key, i))
-            nxt = jnp.where(active, nxt, 0)
+            nxt = jnp.where(active & in_range, nxt, 0)
             return (nxt[:, None], caches), nxt
 
         (_, caches), all_toks = jax.lax.scan(

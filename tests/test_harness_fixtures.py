@@ -43,17 +43,33 @@ def test_winogrande_partial_context():
     assert d.gold == 0
 
 
-def test_hellaswag_raw_ctx_endings():
+def test_hellaswag_process_doc():
+    """Reference _process_doc semantics (tasks/hellaswag.py): query =
+    preprocess(activity_label + ': ' + ctx_a + ' ' + ctx_b.capitalize()),
+    choices preprocessed (strip / [title] -> '. ' / bracket removal /
+    double-space collapse)."""
     d = _doc(harness.HellaSwag, dict(
-        ctx="A man is sitting on a roof. He",
+        activity_label="Roof shingle removal",
+        ctx_a="A man is sitting on a roof.",
+        ctx_b="he",
         endings=["is using wrap to wrap a pair of skis.",
-                 "is ripping level tiles off.",
+                 " is ripping level tiles off. ",
                  "is holding a rubik's cube.",
                  "starts pulling up roofing on a roof."],
         label="3"))
-    assert d.context == "A man is sitting on a roof. He"
-    assert len(d.choices) == 4
+    assert d.context == ("Roof shingle removal: A man is sitting on a "
+                         "roof. He")
+    assert d.choices[1] == "is ripping level tiles off."   # stripped
     assert d.gold == 3
+
+
+def test_hellaswag_preprocess_wikihow_artifacts():
+    # " [title]" -> ". "; "[header]" deleted (leaving its following space —
+    # strip ran FIRST, exactly as the reference orders the steps)
+    assert (harness.HellaSwag.preprocess(
+        "[header] Clean the sink. [title] Use soap.") ==
+        " Clean the sink.. Use soap.")
+    assert harness.HellaSwag.preprocess("  padded  ") == "padded"
 
 
 def test_arc_easy_letter_and_number_keys():

@@ -656,6 +656,89 @@ class TestLongPrompt:
         assert outs[0] == outs[1], outs
 
 
+class TestNearCapacity:
+    """Admission at plen = max_len-1 under the pipelined loop (horizon 8):
+    the fixed-active-mask dispatch must never write KV at positions >=
+    max_len (the fused write kernel requires S > max(positions),
+    ops/attn_int8.py; jnp scatters would silently drop). The decode chunk
+    clamps overflow steps' write rows to max_len-1 and zeroes their
+    tokens (engine._decode_chunk_impl)."""
+
+    @pytest.mark.parametrize("kv_quant", [False, True])
+    def test_admit_at_max_len_minus_one_horizon8(self, kv_quant):
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(7)
+        max_len = 16
+        full = rng.randint(1, CFG.vocab_size, size=max_len - 1).astype(
+            np.int32)
+        short = rng.randint(1, CFG.vocab_size, size=4).astype(np.int32)
+        n_short = 5
+        ref_full = greedy_reference(params, CFG, full, 1)
+        ref_short = greedy_reference(params, CFG, short, n_short)
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=max_len, prefill_buckets=(max_len,),
+            kv_quant=kv_quant, horizon=8))
+        rf = e.submit(full, max_new_tokens=8)      # cache-full after 1 token
+        rs = e.submit(short, max_new_tokens=n_short)
+        done = e.run()
+        assert len(done) == 2
+        # full slot: exactly one real token (retired cache-full), and no
+        # overflow-step garbage leaked into generated
+        assert len(rf.generated) == 1
+        if not kv_quant:
+            assert rf.generated[:1] == ref_full
+        # co-active short request is unaffected by the neighbor's overflow
+        if not kv_quant:
+            assert rs.generated[:n_short] == ref_short
+        else:
+            assert rs.generated[0] == ref_short[0]
+
+    @pytest.mark.parametrize("kv_quant", [False, True])
+    def test_overflow_steps_clamp_and_zero(self, kv_quant):
+        """Direct decode-chunk check: from position max_len-2 with horizon
+        8, steps i>=2 are out of range — their tokens must be 0 and no
+        cache row below max_len-1 may differ from a horizon-2 run (the
+        clamped overflow writes land only on the last row, which is dead:
+        the slot is retired and any later occupant rewrites it before
+        reading)."""
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        max_len = 16
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=max_len, prefill_buckets=(max_len,),
+            kv_quant=kv_quant, horizon=8))
+        caches0 = jax.tree_util.tree_map(jnp.copy, e.caches)
+        b = 2
+        chained = jnp.zeros((b,), jnp.int32)
+        host = jnp.array([3, 5], jnp.int32)
+        use_chain = jnp.zeros((b,), bool)
+        positions = jnp.array([max_len - 2, 2], jnp.int32)
+        active = jnp.ones((b,), bool)
+        key = jax.random.PRNGKey(0)
+        toks8, c8 = e._decode(params, jax.tree_util.tree_map(
+            jnp.copy, caches0), chained, host, use_chain, positions,
+            active, key, horizon=8)
+        toks2, c2 = e._decode(params, jax.tree_util.tree_map(
+            jnp.copy, caches0), chained, host, use_chain, positions,
+            active, key, horizon=2)
+        toks8 = np.asarray(toks8)
+        # slot 0 runs out of rows after step 1; overflow tokens zeroed
+        assert (toks8[2:, 0] == 0).all(), toks8[:, 0]
+        # slot 1 keeps decoding normally
+        assert (toks8[:2] == np.asarray(toks2)).all()
+        # every cache row except the last matches the horizon-2 run for
+        # slot 0 (overflow writes only touch the clamped last row)
+        seq_axis = {"k_codes": 3, "k_scale": 3, "v_codes": 3, "v_scale": 3,
+                    "k": 2, "v": 2}
+        for name in c8:
+            a = np.asarray(c8[name])
+            bb = np.asarray(c2[name])
+            ax = seq_axis[name]
+            sl = [slice(None)] * a.ndim
+            sl[ax] = slice(0, max_len - 1)
+            sl[1] = slice(0, 1)                      # slot 0
+            assert (a[tuple(sl)] == bb[tuple(sl)]).all(), name
+
+
 class TestStackedInt8Attention:
     def test_stacked_matches_unstacked(self):
         """The scalar-prefetch stacked variant must equal the per-layer
