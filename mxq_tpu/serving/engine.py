@@ -379,6 +379,12 @@ class Engine:
                 spec_accept_len_mean=st["accepted"] / st["rounds"],
                 spec_tokens_per_dispatch=(st["accepted"]
                                           / max(st["dispatches"], 1)))
+        if "accept_ema" in st:
+            # acceptance EMA + plain-fallback chunk count from the
+            # auto-disable machinery (spec.run_spec_pipelined) — reported
+            # even when spec disabled before the first verify round ran
+            out["spec_accept_ema"] = float(st["accept_ema"])
+            out["spec_plain_chunks"] = int(st.get("plain_chunks", 0))
         return out
 
     def cancel(self, req: "Request | int") -> bool:

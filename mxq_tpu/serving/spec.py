@@ -198,7 +198,10 @@ def _build_hist(engine: "eng.Engine", h: int):
 
 
 def run_spec_pipelined(engine: "eng.Engine", draft_len: int = 4,
-                       ngram: int = 3, rounds: int = 4) -> list:
+                       ngram: int = 3, rounds: int = 4,
+                       auto_disable: bool = True,
+                       min_accept: "float | None" = None,
+                       probe_every: int = 16) -> list:
     """Drain the engine's queue with pipelined speculative greedy decoding:
     drafting + acceptance run on device (`rounds` verify rounds per
     dispatch) and chunk k+1 is dispatched before chunk k's tokens are
@@ -209,7 +212,17 @@ def run_spec_pipelined(engine: "eng.Engine", draft_len: int = 4,
     flip argmax near-ties — measured 4/384 tokens on random-INIT weights
     whose logit gaps are ~0, and 0/384 on a workload with real gaps
     (docs/RESULTS.md r3 A/B). Acceptance statistics accumulate on the
-    engine (see Engine.stats: spec_*)."""
+    engine (see Engine.stats: spec_*).
+
+    AUTO-DISABLE: speculative decoding LOSES on workloads where
+    prompt-lookup drafts miss (r3 A/B: 0.88x on random prompts at accept
+    4.6/5 vs 1.07x repetitive at 4.9-5.0) — so an EMA of tokens accepted
+    per verify round is tracked, and when it drops below ``min_accept``
+    (default 0.95*(d+1), between the measured winning and losing bands)
+    the loop falls back to the engine's PLAIN pipelined chunks, re-probing
+    with one spec chunk every ``probe_every`` plain chunks in case the
+    workload turned repetitive. ``auto_disable=False`` restores the
+    always-spec behavior; ``min_accept`` overrides the breakeven."""
     assert engine.ecfg.greedy, "speculative decoding is greedy-only"
     assert engine._inflight is None, \
         "drain the pipelined decode loop before speculative decoding"
@@ -218,6 +231,13 @@ def run_spec_pipelined(engine: "eng.Engine", draft_len: int = 4,
     max_len = engine.ecfg.max_len
     d = draft_len
     worst = rounds * (d + 1)
+    if min_accept is None:
+        min_accept = 0.95 * (d + 1)
+    ema_decay = 0.7
+    spec_on = True
+    plain_since = 0
+    engine._spec_stats.setdefault("plain_chunks", 0)
+    engine._spec_stats.setdefault("accept_ema", float(d + 1))
     engine._admit(done)
     engine._flush_pending_first(done)
 
@@ -229,6 +249,10 @@ def run_spec_pipelined(engine: "eng.Engine", draft_len: int = 4,
         retired = False
         st = engine._spec_stats
         st["dispatches"] += 1
+        live = nacc[nacc > 0]
+        if live.size:
+            st["accept_ema"] = (ema_decay * st["accept_ema"]
+                                + (1 - ema_decay) * float(live.mean()))
         for r in range(toks.shape[0]):
             for s in range(b):
                 uid = snap["uids"][s]
@@ -259,7 +283,54 @@ def run_spec_pipelined(engine: "eng.Engine", draft_len: int = 4,
     inflight = None
     pos_bound = None   # worst-case device pos while chunks are in flight
     while engine._active_mask().any() or engine._sched.pending > 0 \
-            or inflight is not None:
+            or inflight is not None or engine._inflight is not None:
+        st = engine._spec_stats
+        if auto_disable and spec_on and st["accept_ema"] < min_accept:
+            spec_on = False
+            plain_since = 0
+        if not spec_on:
+            # PLAIN fallback: drain any spec chunk in flight, then run the
+            # engine's own pipelined decode chunks (stream()'s dispatch
+            # pattern) until the next re-probe.
+            if inflight is not None:
+                process(inflight)
+                inflight = None
+                state = None
+                engine._admit(done)
+                engine._flush_pending_first(done)
+            if plain_since >= probe_every:
+                # re-probe: drain the plain pipeline, neutralize the EMA
+                # (one good probe keeps spec on; one bad one re-disables)
+                if engine._inflight is not None:
+                    done.extend(engine._process_inflight())
+                # settle deferred prefill first-tokens BEFORE spec rebuilds
+                # hist/_last_tok from host truth
+                engine._flush_pending_first(done)
+                spec_on = True
+                st["accept_ema"] = float(min_accept)
+                plain_since = 0
+                state = None
+                continue
+            h = max(1, engine.ecfg.horizon)
+            nxt = engine._dispatch(h)
+            if engine._inflight is not None:
+                done.extend(engine._process_inflight())
+            elif nxt is None:
+                engine._admit(done)
+                engine._flush_pending_first(done)
+            engine._inflight = nxt
+            if nxt is not None:
+                st["plain_chunks"] += 1
+            plain_since += 1
+            continue
+        if engine._inflight is not None:
+            # returning from the plain fallback: settle its last chunk
+            # (and any deferred first-tokens its _admit produced) before
+            # speculative dispatches resume
+            done.extend(engine._process_inflight())
+            engine._flush_pending_first(done)
+            state = None
+            continue
         active = engine._active_mask()
         can_chain = (active.any() and state is not None
                      and state_uids == list(engine._slot_uid)

@@ -408,6 +408,51 @@ class TestSpeculativePipelined:
         spec.run_spec_pipelined(e2, draft_len=4, rounds=2)
         assert r2.generated[:8] == r1.generated[:8]
 
+    def test_auto_disable_falls_back_to_plain_and_stays_exact(self):
+        """With an unreachable breakeven, the acceptance-EMA auto-disable
+        must route decoding through plain pipelined chunks — and outputs
+        must remain exactly greedy."""
+        from mxq_tpu.serving import spec
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.array([4, 5, 6] * 5, np.int32)
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
+        r = e.submit(prompt, max_new_tokens=12)
+        spec.run_spec_pipelined(e, draft_len=4, rounds=2,
+                                min_accept=99.0, probe_every=4)
+        ref = greedy_reference(params, CFG, prompt, 12)
+        assert r.generated[:12] == ref
+        s = e.stats()
+        assert s["spec_plain_chunks"] > 0, s
+
+    def test_auto_disable_off_never_falls_back(self):
+        from mxq_tpu.serving import spec
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.array([4, 5, 6] * 5, np.int32)
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
+        r = e.submit(prompt, max_new_tokens=8)
+        spec.run_spec_pipelined(e, draft_len=4, rounds=2, min_accept=0.0)
+        ref = greedy_reference(params, CFG, prompt, 8)
+        assert r.generated[:8] == ref
+        assert e.stats().get("spec_plain_chunks", 0) == 0
+
+    @pytest.mark.slow
+    def test_auto_disable_reprobe_interleaves_exactly(self):
+        """probe_every=1 forces constant plain<->spec switching; the
+        drain/rebuild resyncs must keep every token exact."""
+        from mxq_tpu.serving import spec
+        params = llama.init_params(CFG, jax.random.PRNGKey(0))
+        prompt = np.array([9, 10, 11] * 4, np.int32)
+        e = eng.Engine(params, CFG, eng.EngineConfig(
+            num_slots=2, max_len=64, prefill_buckets=(16,), kv_quant=False))
+        reqs = [e.submit(prompt + i, max_new_tokens=7) for i in range(3)]
+        spec.run_spec_pipelined(e, draft_len=3, rounds=2,
+                                min_accept=99.0, probe_every=1)
+        for i, r in enumerate(reqs):
+            ref = greedy_reference(params, CFG, prompt + i, 7)
+            assert r.done and r.generated[:7] == ref, i
+
     @pytest.mark.slow
     def test_spec_with_chunked_prefill_prompt(self):
         from mxq_tpu.serving import spec
