@@ -334,6 +334,33 @@ def sym_fake_quant(x: jax.Array, bits: int, groupsize: int = 128,
     return jnp.round(x * s) / (s + 1e-6)
 
 
+def sym_fake_quant_ref3d(x: jax.Array, bits: int,
+                         groupsize: int = 128) -> jax.Array:
+    """COMPATIBILITY SHIM: the reference SymQuantizer's buggy 3-D branch,
+    reproduced exactly (utils_quant.py:56-66). On [B, T, H] the reference
+    slices the SEQUENCE axis with a feature-axis group count
+    (``input[:, i1:i2]`` for ``dim_group = H // groupsize`` slices), so:
+
+      * tokens t < min(dim_group*groupsize, T) get a PER-TOKEN full-row
+        max (coarser than the intended per-128-group max);
+      * tokens beyond that keep max_input = 0, making s ~ (2^(b-1)-1)/1e-6
+        — near-identity "quantization" of the tail.
+
+    Use this (not ``sym_fake_quant``) when evaluating a REFERENCE-trained
+    a_bits/kv_bits checkpoint, whose training saw these semantics. The
+    delta vs the fixed groupwise semantics is golden-quantified in
+    tests/test_scheme.py::test_sym3d_*; goldens from
+    tools/make_goldens.py (qat_sym3d.npz)."""
+    assert x.ndim == 3, "the reference branch this reproduces is 3-D only"
+    _, t, h = x.shape
+    covered = min((h // groupsize) * groupsize, t)
+    rowmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)       # [B, T, 1]
+    mask = (jnp.arange(t) < covered)[None, :, None]
+    m = jnp.where(mask, rowmax, 0.0)
+    s = (2 ** (bits - 1) - 1) / (m + 1e-6)
+    return jnp.round(x * s) / (s + 1e-6)
+
+
 def sym_fake_quant_ste(x: jax.Array, bits: int, groupsize: int = 128,
                        layerwise: bool = False, clip: float = 2.0) -> jax.Array:
     """SymQuantizer with STE clip-masked backward (utils_quant.py:92-102)."""

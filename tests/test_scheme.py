@@ -46,6 +46,38 @@ class TestQATFakeQuant:
         np.testing.assert_allclose(np.asarray(out_lw), g["out_lw"],
                                    rtol=0, atol=1e-6)
 
+    def test_sym3d_reference_bug_golden(self):
+        """The compatibility shim reproduces the reference's buggy 3-D
+        SymQuantizer branch bit-for-bit (utils_quant.py:56-66: sequence-axis
+        slicing, per-token maxima, zero-max tail)."""
+        g = load("qat_sym3d")
+        out = scheme.sym_fake_quant_ref3d(jnp.asarray(g["x"]), bits=8)
+        np.testing.assert_allclose(np.asarray(out), g["out"], rtol=0,
+                                   atol=1e-6)
+
+    def test_sym3d_deviation_quantified(self):
+        """Quantifies the documented numerical deviation: the FIXED
+        groupwise semantics (sym_fake_quant) vs the reference's buggy 3-D
+        branch on the same [B, T, H] tensor. A reference-trained
+        a_bits/kv_bits checkpoint evaluated with the fixed semantics sees
+        per-value deltas of this order (compat note in
+        docs/ARCHITECTURE.md)."""
+        g = load("qat_sym3d")
+        x = jnp.asarray(g["x"])
+        fixed = np.asarray(scheme.sym_fake_quant(x, bits=8, groupsize=128))
+        buggy = np.asarray(g["out"])
+        delta = np.abs(fixed - buggy)
+        rel = delta.max() / np.abs(x).max()
+        mean_rel = delta.mean() / np.abs(np.asarray(x)).mean()
+        # the deviation is real (per-token vs per-group scale + identity
+        # tail) but bounded by one quant step of the coarser grid
+        assert delta.max() > 0
+        step = np.abs(np.asarray(x)).max(axis=-1).max() / 127
+        assert delta.max() <= step * 1.01, (delta.max(), step)
+        # recorded magnitudes (guarded loosely so the note stays true)
+        assert 1e-4 < rel < 2e-2, rel
+        assert mean_rel < 1e-2, mean_rel
+
     def test_asym_act_quant(self):
         g = load("qat_asym_a4")
         out = scheme.asym_fake_quant(jnp.asarray(g["x"]), bits=4, groupsize=8)

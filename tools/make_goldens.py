@@ -58,6 +58,17 @@ def qat_goldens():
          out=AsymQuantizer.apply(x4, clip, 4, False).numpy(),
          out_lw=AsymQuantizer.apply(x4, clip, 4, True).numpy())
 
+    # The reference's 3-D SymQuantizer branch (utils_quant.py:56-66) slices
+    # the SEQUENCE axis with a feature-axis group count on [B, T, H] — per-
+    # token full-row maxima for t < (H//128)*128 and an uninitialized
+    # (max=0) tail beyond. Capture it verbatim so the compatibility shim
+    # (scheme.sym_fake_quant_ref3d) is pinned bit-for-bit, and the delta vs
+    # the fixed groupwise semantics is quantified (tests/test_scheme.py).
+    # T=300 > 2*128 exercises the zero-max tail.
+    x3 = torch.randn(2, 300, 256, generator=g)
+    save("qat_sym3d", x=x3.numpy(),
+         out=SymQuantizer.apply(x3, clip, 8, False).numpy())
+
 
 def ptq_goldens():
     from lib.quantizer import Quantizer
