@@ -333,6 +333,171 @@ def permute_x4_pair(x4: jax.Array, n_kt: int) -> jax.Array:
             .reshape(b, -1))
 
 
+# ---------------------------------------------------------------------------
+# B=1 "block-diagonal group" (bdg) body — MXU group-partial reduction
+# ---------------------------------------------------------------------------
+#
+# The slab body's per-(16-group, channel) scale multiply cannot hoist out of
+# the contraction (r3 attribution), pinning B=1 near ~55% of the HBM
+# roofline. bdg removes the per-weight scale entirely: raw codes are
+# extracted to a [768, N] f32 scratch and ONE fat MXU dot against a
+# block-diagonal activation operand (one row per scale group,
+# Xbd = mask .* x, built in XLA) produces per-GROUP partial sums
+#   G[g, n] = sum_{k in group g} x_k * c_{k,n},
+# after which the scale applies at group granularity in a [48, N] epilogue:
+#   y[n] += sum_g s[g,n]*G[g,n] - s[g,n]*z[g,n]*gxs[g].
+# The MXU pays a 48x dense-block-diagonal FLOP overhead — affordable at
+# B=1 only (13.7 us vs the 24.6 us DMA floor at 4096->11264; at B=8 it
+# would be 110 us, so larger batches keep the slab body). Measured r5
+# (tools/probe_bdg.py): 39.5-42.8 us vs slab's 44.5 at 11008x4096 and
+# 40.4-45.5 vs 51.7 at 4096x11008 — the fastest EXACT B=1 kernel, and
+# more accurate than the per-slab bodies (3.6e-7 rel vs 3.5e-3: the codes
+# and activations are exactly representable, so the bf16 MXU pass is
+# error-free; docs/ROOFLINE.md has the full variant shootout and the
+# bound argument for why ~60% is the exact-scheme ceiling here).
+
+
+def _bdg_kernel(xbd_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+                out_ref, out4_ref, acc_ref, acc4_ref, cs_ref, *, km):
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc4_ref[:] = jnp.zeros_like(acc4_ref)
+
+    dn = (((1,), (0,)), ((), ()))
+    dn4 = (((0,), (0,)), ((), ()))
+    for m in range(km):
+        meta = meta_ref[pl.ds(m * NB_TILE, NB_TILE), :]
+        qs = qs_ref[pl.ds(m * NB_TILE, NB_TILE), :].astype(jnp.float32)
+        qm = qm_ref[pl.ds(m * NB_TILE, NB_TILE), :].astype(jnp.float32)
+        s_parts, z_parts = [], []
+        for i in range(3):
+            zc_i = jax.lax.shift_right_logical(meta, 2 * i) & 0x3
+            sc_i = (jax.lax.shift_right_logical(meta, 6 + SCALE_CODE_BITS * i)
+                    & ((1 << SCALE_CODE_BITS) - 1))
+            s_parts.append(qs * sc_i.astype(jnp.float32) + qm)
+            z_parts.append(zc_i)
+        s_eff = jnp.concatenate(s_parts, axis=0)
+        zc = jnp.concatenate(z_parts, axis=0).astype(jnp.float32)
+
+        w2 = w2_ref[pl.ds(m * W2_ROWS, W2_ROWS), :]
+        for j in range(16):
+            c_j = jax.lax.shift_right_logical(w2, 2 * j) & 0x3
+            cs_ref[pl.ds(j * W2_ROWS, W2_ROWS), :] = c_j.astype(jnp.float32)
+        xbd = xbd_ref[:, pl.ds(m * K2T, K2T)].astype(jnp.float32)
+        g = jax.lax.dot_general(xbd, cs_ref[:], dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+        gxs = jnp.sum(xbd, axis=1, keepdims=True)
+        acc_ref[0:1, :] += jnp.sum(s_eff * g - (s_eff * zc) * gxs, axis=0,
+                                   keepdims=True)
+
+        # 4-bit plane: raw-code dots, per-channel scale hoisted to the XLA
+        # epilogue — identical to the slab body's treatment
+        w4 = w4_ref[pl.ds(m * W4_ROWS, W4_ROWS), :]
+        for j in range(8):
+            c_j = jax.lax.shift_right_logical(w4, 4 * j) & 0xF
+            xs = x4_ref[pl.ds((m * 8 + j) * W4_ROWS, W4_ROWS), :]
+            acc4_ref[:] += jax.lax.dot_general(
+                xs.astype(jnp.float32), c_j.astype(jnp.float32),
+                dimension_numbers=dn4, preferred_element_type=jnp.float32)
+
+    @pl.when(kt == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+        out4_ref[:] = acc4_ref[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _bdg_mask() -> "jnp.ndarray":
+    """[48, 768] 0/1 bf16: stacked-code row j*48 + r belongs to group r."""
+    import numpy as _np
+    grp = _np.arange(K2T) % W2_ROWS
+    return jnp.asarray(grp[None, :] == _np.arange(W2_ROWS)[:, None],
+                       jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "km", "interpret"))
+def _mxq_matmul_bdg_padded(xbd, x4, w2, w4, meta2, qscale, qmin, *,
+                           block_n, km, interpret):
+    nbp, n = meta2.shape
+    n_kt = nbp // NB_TILE
+    grid = (1, n // block_n, n_kt // km)
+    kernel = functools.partial(_bdg_kernel, km=km)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W2_ROWS, K2T * km), lambda bi, ni, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K4T * km, 8), lambda bi, ni, ki: (ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W2_ROWS * km, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W4_ROWS * km, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE * km, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE * km, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB_TILE * km, block_n), lambda bi, ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, block_n), lambda bi, ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_n), lambda bi, ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((8, n), jnp.float32),
+                   jax.ShapeDtypeStruct((8, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, block_n), jnp.float32),
+                        pltpu.VMEM((8, block_n), jnp.float32),
+                        pltpu.VMEM((K2T, block_n), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * W2_ROWS * K2T * n * (n_kt // km) * km,
+            bytes_accessed=(w2.size + w4.size + meta2.size) * 4
+            + (qscale.size + qmin.size) * 2 + xbd.size * 2 + 8 * n * 4,
+            transcendentals=0,
+        ),
+    )(xbd, x4, w2, w4, meta2, qscale, qmin)
+
+
+def _mxq_matmul_bdg(x: jax.Array, p: PackedMXQLinear, cfg: MXQConfig,
+                    block_n: int | None, interpret: bool,
+                    kt_mult: int | None) -> jax.Array:
+    """B=1 GEMV through the bdg kernel (see the section comment)."""
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, x.shape[-1]))
+    n_kt = p.nbp // NB_TILE
+    if block_n is None:
+        # cs scratch is [768, block_n] f32 — cap tiles at 1024 (3 MB)
+        block_n = min(_auto_block_n(p.n_padded), 1024)
+    km = kt_mult if kt_mult is not None else (
+        2 if n_kt % 2 == 0 and (p.n_padded // block_n) * (n_kt // 2) >= 8
+        else 1)
+    x2, x4 = packfmt.pad_inputs_split(xb, p, cfg)
+    x2p = permute_x2(x2, n_kt).astype(jnp.bfloat16)      # [1, K2P]
+    x4u = x4.astype(jnp.bfloat16)
+    # Xbd in XLA: tiny ([48, K2P] bf16), fuses with the permute
+    xbd = jnp.moveaxis(
+        jnp.where(_bdg_mask()[None], x2p.reshape(n_kt, 1, K2T), 0.0),
+        0, 1).reshape(W2_ROWS, n_kt * K2T)
+    x4t = jnp.pad(permute_x4(x4, n_kt).astype(jnp.bfloat16),
+                  ((0, 7), (0, 0))).T
+    out, out4 = _mxq_matmul_bdg_padded(
+        xbd, x4t, p.w2, p.w4, p.meta2, p.qscale, p.qmin,
+        block_n=block_n, km=km, interpret=interpret)
+    y = _epilogue(out[0:1], out4[0:1], x4u, p.smeta4[0:1], p.smeta4[1:2],
+                  "slab")
+    return y[:, : p.out_features].astype(x.dtype).reshape(
+        lead + (p.out_features,))
+
+
 _LAYOUTS = {"slab": (permute_x2, permute_x4),
             "quad": (permute_x2_quad, permute_x4_quad),
             "bfexp": (permute_x2_pair, permute_x4_pair)}
@@ -475,8 +640,21 @@ def mxq_matmul(x: jax.Array, p: PackedMXQLinear,
     """
     if interpret is None:
         interpret = _on_cpu()
+    b_actual = 1
+    for d in x.shape[:-1]:
+        b_actual *= d
     if layout is None:
-        layout = GEMV_LAYOUT
+        # B=1 auto-dispatches to the bdg body (fastest + most accurate
+        # exact kernel at batch 1, tools/probe_bdg.py); larger batches
+        # keep the env-selected per-slab layout (bdg's dense block-diagonal
+        # MXU cost scales with B).
+        layout = (os.environ.get("MXQ_GEMV_LAYOUT_B1", "bdg")
+                  if b_actual == 1 else GEMV_LAYOUT)
+    if layout == "bdg":
+        if b_actual != 1:
+            layout = GEMV_LAYOUT if GEMV_LAYOUT != "bdg" else "slab"
+        else:
+            return _mxq_matmul_bdg(x, p, cfg, block_n, interpret, kt_mult)
     if block_n is None:
         block_n = _auto_block_n(p.n_padded)
     lead = x.shape[:-1]

@@ -8,17 +8,19 @@ max_len x num_slots dense reservation — sequences allocate fixed-size pages
 on demand from a shared pool, so long and short requests coexist without
 fragmentation.
 
-Layout:
-  k_pages / v_pages : [L, KVH, total_pages, page_size, D]   (bf16)
-  page_tables       : [num_slots, pages_per_seq] int32 (host-managed)
+Layout (FOLDED, r5): the layer axis is folded into the page axis —
+  k_pages / v_pages : [KVH, L*P, page_size, D]    (bf16 or int8+scales)
+  page_tables       : [num_slots, pages_per_seq] int32 LOGICAL ids (host)
   lengths           : [num_slots] int32
-
-Known perf headroom: the decode body slices each layer's pool view
-(dynamic_index over L) before attending — a [KVH, L, P, ps, D] layout
-would fold (L, P) into one page axis (pure bitcast) so the paged kernels
-could address layer pages via scalar prefetch with no per-layer gather,
-like the dense engine's folded-stack attention. Not yet done; the dense
-slot engine remains the throughput-optimal decode path.
+Layer ``l``'s copy of logical page ``p`` lives at physical index
+``l*P + p``; the decode body computes per-layer physical page indices
+IN-GRAPH (one [B, pps] add) and the attention kernels gather exactly the
+pages they need. The r4 layout ([L, KVH, P, ps, D]) had to
+``dynamic_index`` the whole layer's pool view out of the stack before
+attending — a pool-sized copy per layer per step that made paged decode
+knowingly slower than the slot engine (r4 VERDICT weak #3). The fold
+removes every pool-sized copy from the decode step; writes scatter
+directly into the folded buffer.
 """
 
 from __future__ import annotations
@@ -42,14 +44,16 @@ from mxq_tpu.models import llama
 
 @dataclasses.dataclass
 class PagedPool:
-    """Device KV pool + host-side page accounting."""
+    """Device KV pool + host-side page accounting (folded layout)."""
 
-    k_pages: jax.Array        # [L, KVH, P, ps, D]
+    k_pages: jax.Array        # [KVH, L*P, ps, D] (or dict codes/scales)
     v_pages: jax.Array
     page_size: int
-    page_tables: np.ndarray   # [slots, pages_per_seq] int32 (host)
+    page_tables: np.ndarray   # [slots, pages_per_seq] int32 LOGICAL (host)
     lengths: np.ndarray       # [slots] int32 (host)
-    free_pages: list          # host free list
+    free_pages: list          # host free list (logical ids)
+    layers: int = 0           # L (physical index of (l, p) = l*P + p)
+    pages_per_layer: int = 0  # P (logical pool size)
 
     @classmethod
     def create(cls, cfg: llama.LlamaConfig, num_slots: int, total_pages: int,
@@ -65,11 +69,11 @@ class PagedPool:
         # round UP: a non-multiple max_len must not silently shrink the
         # per-sequence capacity below max_len
         pages_per_seq = -(-max_len // page_size)
-        shape = (l, kvh, total_pages, page_size, d)
+        shape = (kvh, l * total_pages, page_size, d)
         if kv_bits == 8:
             # quantized pool: int8 code pages + per-(head, token) bf16
             # scales, the paged analogue of kvcache.init_quant_cache
-            sshape = (l, kvh, total_pages, 1, page_size)
+            sshape = (kvh, l * total_pages, 1, page_size)
             k_pages = {"codes": jnp.zeros(shape, jnp.int8),
                        "scales": jnp.zeros(sshape, jnp.bfloat16)}
             v_pages = {"codes": jnp.zeros(shape, jnp.int8),
@@ -84,6 +88,8 @@ class PagedPool:
             page_tables=np.zeros((num_slots, pages_per_seq), np.int32),
             lengths=np.zeros(num_slots, np.int32),
             free_pages=list(range(total_pages - 1, 0, -1)),  # page 0 = null
+            layers=l,
+            pages_per_layer=total_pages,
             )
 
     # -- host-side page accounting -------------------------------------
@@ -94,8 +100,7 @@ class PagedPool:
     # in the free list; reallocating it for new content invalidates it.
     def _lazy_prefix_state(self):
         if not hasattr(self, "refs"):
-            self.refs = np.zeros(_pool_codes(self.k_pages).shape[2],
-                                 np.int32)
+            self.refs = np.zeros(self.pages_per_layer, np.int32)
             self.prefix_index = {}      # chained hash -> page id
             self.page_key = {}          # page id -> chained hash
 
@@ -159,12 +164,14 @@ class PagedPool:
 
 
 def write_tokens(k_pages, v_pages, k_new, v_new, page_ids, offsets,
-                 layer_idx=None):
+                 layer_idx=None, pages_per_layer=None):
     """Write one token per slot into the pool.
 
-    k_new/v_new: [B, KVH, D]; page_ids/offsets: [B] int32. Operates on the
-    whole [L, ...] pool when layer_idx is given, else on one layer's
-    [KVH, P, ps, D] view.
+    k_new/v_new: [B, KVH, D]; page_ids/offsets: [B] int32 (LOGICAL page
+    ids). With ``layer_idx`` (+ ``pages_per_layer``) the scatter goes into
+    the folded [KVH, L*P, ps, D] pool at physical pages
+    ``layer_idx*P + page_ids``; else into a one-layer [KVH, P, ps, D]
+    view.
     """
     b = k_new.shape[0]
     bidx = jnp.arange(b)
@@ -177,85 +184,90 @@ def write_tokens(k_pages, v_pages, k_new, v_new, page_ids, offsets,
                                             val.shape[-1])
         return codes, scales[..., 0]                 # [B,KVH,D], [B,KVH]
 
+    if layer_idx is None:
+        lp_ids = page_ids[bidx]
+    else:
+        assert pages_per_layer is not None
+        lp_ids = layer_idx * pages_per_layer + page_ids
+
     def wr(pages, val):
+        # direct indexed scatter into the folded pool — no layer slicing,
+        # no pool-sized copies (the r4 layout's dynamic_index over L copied
+        # the whole layer view per layer per step)
         if isinstance(pages, dict):
             codes, scales = quant(val)
             return {"codes": pages["codes"].at[
-                        :, page_ids[bidx], offsets[bidx]].set(
+                        :, lp_ids, offsets[bidx]].set(
                         codes.transpose(1, 0, 2)),
-                    # advanced indices (page_ids, offsets) are separated
-                    # by the basic 0 -> result dims go FIRST: [B, KVH]
+                    # the scalar 0 counts as an ADVANCED index, so
+                    # (lp_ids, 0, offsets) form one contiguous advanced
+                    # block and the result dims stay in place: [KVH, B]
                     "scales": pages["scales"].at[
-                        :, page_ids[bidx], 0, offsets[bidx]].set(
-                        scales.astype(jnp.bfloat16))}
-        # pages [KVH, P, ps, D]; scatter [B] tokens at (h, page_ids[b],
+                        :, lp_ids, 0, offsets[bidx]].set(
+                        scales.astype(jnp.bfloat16).T)}
+        # pages [KVH, LP, ps, D]; scatter [B] tokens at (h, lp_ids[b],
         # offsets[b]) for all heads
-        return pages.at[:, page_ids[bidx], offsets[bidx]].set(
+        return pages.at[:, lp_ids, offsets[bidx]].set(
             val.transpose(1, 0, 2).astype(pages.dtype))
 
-    if layer_idx is None:
-        return wr(k_pages, k_new), wr(v_pages, v_new)
-
-    def wr_stacked(pages, val):
-        # direct indexed scatter into the stacked [L, KVH, P, ps, D] pool —
-        # slicing the layer out and back copied the whole layer's pages
-        # (~2x75 MB per layer per step; measured 26.6 -> expected ~12
-        # ms/step on 7B decode after removing it)
-        # advanced indices (traced layer_idx, page_ids, offsets) are
-        # non-adjacent, so the result dims go FIRST: updates are [B, KVH, D]
-        if isinstance(pages, dict):
-            codes, scales = quant(val)
-            return {"codes": pages["codes"].at[
-                        layer_idx, :, page_ids, offsets].set(codes),
-                    "scales": pages["scales"].at[
-                        layer_idx, :, page_ids, 0, offsets].set(
-                        scales.astype(jnp.bfloat16))}
-        return pages.at[layer_idx, :, page_ids, offsets].set(
-            val.astype(pages.dtype))
-
-    return wr_stacked(k_pages, k_new), wr_stacked(v_pages, v_new)
+    return wr(k_pages, k_new), wr(v_pages, v_new)
 
 
 
 def _pool_codes(pages):
-    """The array carrying page geometry ([L, KVH, P, ps, D]) — the codes
+    """The array carrying page geometry ([KVH, L*P, ps, D]) — the codes
     for a quantized (dict) pool, the pages themselves otherwise."""
     return pages["codes"] if isinstance(pages, dict) else pages
 
 
-def _scatter_quant(pages, buf, t, ps, dest_pages, offset=0):
+def _lp(dest_pages, layers: int, pages_per_layer: int):
+    """Physical page ids [L, NP] for logical ``dest_pages`` [NP] across
+    every layer (folded layout: (l, p) -> l*P + p)."""
+    return (jnp.arange(layers, dtype=jnp.int32)[:, None] * pages_per_layer
+            + dest_pages[None, :])
+
+
+def _scatter_quant(pages, buf, t, ps, dest_pages, pages_per_layer,
+                   offset=0):
     """Quantize a prefill chunk (dense [L, 1, T+, KVH, D] cache, rows
-    [offset, offset+t)) and scatter codes + scales into ``dest_pages``."""
+    [offset, offset+t)) and scatter codes + scales into logical
+    ``dest_pages`` of every layer."""
     from mxq_tpu.serving import kvcache
     l, kvh = buf.shape[0], buf.shape[3]
     d = buf.shape[4]
     x = jax.lax.dynamic_slice_in_dim(buf[:, 0], offset, t, axis=1)
     codes, scales = kvcache.quantize_kv(x.astype(jnp.float32), d)
-    cc = codes.reshape(l, t // ps, ps, kvh, d).transpose(0, 3, 1, 2, 4)
-    ss = scales[..., 0].reshape(l, t // ps, ps, kvh).transpose(0, 3, 1, 2)
-    return {"codes": pages["codes"].at[:, :, dest_pages].set(
-                cc.astype(jnp.int8)),
-            "scales": pages["scales"].at[:, :, dest_pages, 0].set(
+    # -> [KVH, L, NP, ps, D] to match the folded pool's [KVH, LP, ...]
+    cc = codes.reshape(l, t // ps, ps, kvh, d).transpose(3, 0, 1, 2, 4)
+    ss = scales[..., 0].reshape(l, t // ps, ps, kvh).transpose(3, 0, 1, 2)
+    lp = _lp(dest_pages, l, pages_per_layer)         # [L, NP]
+    return {"codes": pages["codes"].at[:, lp].set(cc.astype(jnp.int8)),
+            "scales": pages["scales"].at[:, lp, 0].set(
                 ss.astype(jnp.bfloat16))}
 
 
-def _gather_dense(pages, page_table, l, kvh, d, ps):
+def _gather_dense(pages, page_table, l, kvh, d, ps, pages_per_layer):
     """Gather a slot's pages to a dense [L, 1, cap, KVH, D] bf16 cache
     (dequantizing a dict pool)."""
     cap = page_table.shape[0] * ps
+    lp = _lp(page_table, l, pages_per_layer)          # [L, NP]
     if isinstance(pages, dict):
-        g = pages["codes"][:, :, page_table]        # [L, KVH, NP, ps, D]
-        s = pages["scales"][:, :, page_table, 0]    # [L, KVH, NP, ps]
+        g = pages["codes"][:, lp]                     # [KVH, L, NP, ps, D]
+        s = pages["scales"][:, lp, 0]                 # [KVH, L, NP, ps]
         dense = (g.astype(jnp.float32) *
                  s.astype(jnp.float32)[..., None]).astype(jnp.bfloat16)
     else:
-        dense = pages[:, :, page_table]
-    return dense.transpose(0, 2, 3, 1, 4).reshape(l, 1, cap, kvh, d)
+        dense = pages[:, lp]
+    return dense.transpose(1, 0, 2, 3, 4).transpose(0, 2, 3, 1, 4).reshape(
+        l, 1, cap, kvh, d)
 
 
 def paged_attend(q, k_pages_l, v_pages_l, lengths, page_indices,
                  pages_per_compute_block: int | None = None):
-    """q: [B, NH, D]; k/v_pages_l: [KVH, P, ps, D] (one layer).
+    """q: [B, NH, D]; k/v_pages_l: [KVH, P, ps, D] — one layer's view OR
+    the whole folded [KVH, L*P, ps, D] pool with ``page_indices`` already
+    offset to physical ids (l*P + p). The kernels only ever gather the
+    indexed pages, so the folded pool costs nothing extra.
     Uses the Pallas paged-attention kernel on TPU, a jnp gather reference on
     CPU (also the correctness oracle). ``pages_per_compute_block`` defaults
     to the largest divisor of pages-per-sequence <= 8 — fatter blocks halve
@@ -356,13 +368,15 @@ def _paged_decode_one(params, k_pages, v_pages, tokens, positions, lengths,
             v = llama.quant_linear(h, layer["v_proj"], cfg).reshape(b, 1, nkv, d)
         q, k = llama.apply_rope(q, k, cos, sin)
 
+        ppl = _pool_codes(k_pages).shape[1] // cfg.num_hidden_layers
         k_pages, v_pages = write_tokens(k_pages, v_pages, k[:, 0], v[:, 0],
-                                        page_ids, offsets, layer_idx=idx)
-        view = lambda p: jax.tree.map(  # noqa: E731 — dict (int8) or array
-            lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0,
-                                                   keepdims=False), p)
-        kl, vl = view(k_pages), view(v_pages)
-        ctx = paged_attend(q[:, 0], kl, vl, lengths, page_tables)
+                                        page_ids, offsets, layer_idx=idx,
+                                        pages_per_layer=ppl)
+        # FOLDED addressing: no layer view (the r4 dynamic_index here
+        # copied the whole layer's pool per layer per step) — the kernels
+        # gather layer ``idx``'s pages through offset physical indices
+        lp_tables = idx * ppl + page_tables           # [B, pps] in-graph
+        ctx = paged_attend(q[:, 0], k_pages, v_pages, lengths, lp_tables)
         ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
         x = x + llama.quant_linear(ctx, layer["o_proj"], cfg)
         h2 = llama.rms_norm(x, layer["post_attention_layernorm"],
@@ -396,7 +410,7 @@ def paged_decode_chunk(params, k_pages, v_pages, chained, host_toks,
     (greedy, temperature, top_k, top_p) trace-time constants."""
     from mxq_tpu.serving.engine import sample_token
     b = chained.shape[0]
-    ps = _pool_codes(k_pages).shape[3]
+    ps = _pool_codes(k_pages).shape[2]
     rows = jnp.arange(b)
     toks = jnp.where(use_chain, chained, host_toks)[:, None]
 
@@ -426,7 +440,10 @@ def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages, key,
     (first generated token — sampled per ``sample``, like the dense
     engine's prefill — k_pages, v_pages)."""
     t = ids.shape[1]
-    ps = _pool_codes(k_pages).shape[3]
+    pc = _pool_codes(k_pages)
+    ps = pc.shape[2]
+    l = cfg.num_hidden_layers
+    ppl = pc.shape[1] // l
     caches = llama.init_cache(
         cfg, 1, t,
         dtype=jnp.bfloat16 if isinstance(k_pages, dict)
@@ -437,14 +454,15 @@ def paged_prefill(params, k_pages, v_pages, ids, length, slot_pages, key,
     mask = jnp.where((kpos <= qpos) & (kpos < length), 0.0, neg)[None, None]
     logits, caches = llama.forward(params, ids, cfg, caches=caches,
                                    cache_pos=0, mask=mask)
-    # caches: [L, 1, T, KVH, D] -> pages [L, KVH, T/ps, ps, D]
+    # caches: [L, 1, T, KVH, D] -> folded pages at physical l*P + p
     def scatter(pages, buf):
         if isinstance(pages, dict):
-            return _scatter_quant(pages, buf, t, ps, slot_pages)
+            return _scatter_quant(pages, buf, t, ps, slot_pages, ppl)
         chunk = buf[:, 0].reshape(buf.shape[0], t // ps, ps,
                                   buf.shape[3], buf.shape[4])
-        chunk = chunk.transpose(0, 3, 1, 2, 4)       # [L, KVH, T/ps, ps, D]
-        return pages.at[:, :, slot_pages].set(chunk.astype(pages.dtype))
+        chunk = chunk.transpose(3, 0, 1, 2, 4)       # [KVH, L, T/ps, ps, D]
+        return pages.at[:, _lp(slot_pages, l, ppl)].set(
+            chunk.astype(pages.dtype))
 
     k_pages = scatter(k_pages, caches["k"])
     v_pages = scatter(v_pages, caches["v"])
@@ -464,11 +482,15 @@ def paged_prefill_chunk(params, k_pages, v_pages, ids, length, offset,
     chunk's queries attend rows [0, offset) plus their own causal prefix,
     then the fresh chunk KV is scattered into ``chunk_pages``."""
     t = ids.shape[1]
-    l, kvh, _, ps, d = _pool_codes(k_pages).shape
+    kvh, lp_total, ps, d = _pool_codes(k_pages).shape
+    l = cfg.num_hidden_layers
+    ppl = lp_total // l
     cap = slot_page_table.shape[0] * ps
 
-    caches = {"k": _gather_dense(k_pages, slot_page_table, l, kvh, d, ps),
-              "v": _gather_dense(v_pages, slot_page_table, l, kvh, d, ps)}
+    caches = {"k": _gather_dense(k_pages, slot_page_table, l, kvh, d, ps,
+                                 ppl),
+              "v": _gather_dense(v_pages, slot_page_table, l, kvh, d, ps,
+                                 ppl)}
     qpos = offset + jnp.arange(t)[:, None]
     kpos = jnp.arange(cap)[None, :]
     neg = jnp.finfo(jnp.float32).min
@@ -479,11 +501,12 @@ def paged_prefill_chunk(params, k_pages, v_pages, ids, length, offset,
 
     def scatter(pages, buf):
         if isinstance(pages, dict):
-            return _scatter_quant(pages, buf, t, ps, chunk_pages,
+            return _scatter_quant(pages, buf, t, ps, chunk_pages, ppl,
                                   offset=offset)
         fresh = jax.lax.dynamic_slice_in_dim(buf[:, 0], offset, t, axis=1)
-        chunk = fresh.reshape(l, t // ps, ps, kvh, d).transpose(0, 3, 1, 2, 4)
-        return pages.at[:, :, chunk_pages].set(chunk.astype(pages.dtype))
+        chunk = fresh.reshape(l, t // ps, ps, kvh, d).transpose(3, 0, 1, 2, 4)
+        return pages.at[:, _lp(chunk_pages, l, ppl)].set(
+            chunk.astype(pages.dtype))
 
     k_pages = scatter(k_pages, caches["k"])
     v_pages = scatter(v_pages, caches["v"])

@@ -31,6 +31,51 @@ def test_matches_reference_dequant(b, o, k, layout):
                                rtol=2e-2, atol=2e-1)
 
 
+@pytest.mark.parametrize("o,k", [(256, 1024), (256, 2048), (100, 2112),
+                                 (384, 3072)])
+def test_bdg_b1_matches_reference_dequant(o, k):
+    """The B=1 block-diagonal-group body (MXU group-partial reduction,
+    auto-dispatched at batch 1) must be EXACT vs the reference dequant —
+    codes and bf16 activations are exactly representable, so unlike the
+    per-slab bodies there is no bf16-MXU rounding envelope (measured
+    3.6e-7 on device, tools/probe_bdg.py)."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (o, k), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, k), jnp.float32)
+    p = packfmt.quantize_pack(w, CFG)
+    y_ref = (x.astype(jnp.bfloat16).astype(jnp.float32)
+             @ packfmt.unpack_dequant(p, CFG))
+    for layout in ("bdg", None):      # explicit and the B=1 auto-dispatch
+        y = mm.mxq_matmul(x, p, CFG, layout=layout)
+        assert y.shape == (1, o)
+        rel = float(jnp.max(jnp.abs(y - y_ref))
+                    / (jnp.max(jnp.abs(y_ref)) + 1e-9))
+        assert rel < 1e-4, (layout, rel)
+
+
+def test_bdg_kt_mult_and_3d():
+    w = jax.random.normal(jax.random.PRNGKey(2), (128, 2048), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 2048), jnp.float32)
+    p = packfmt.quantize_pack(w, CFG)
+    y2 = mm.mxq_matmul(x, p, CFG, layout="bdg", kt_mult=2)
+    y1 = mm.mxq_matmul(x, p, CFG, layout="bdg", kt_mult=1)
+    assert y2.shape == (1, 1, 128)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_bdg_requested_at_larger_batch_falls_back():
+    """layout='bdg' with B>1 silently falls back to a per-slab body (the
+    dense block-diagonal MXU cost scales with B)."""
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 1024), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 1024), jnp.float32)
+    p = packfmt.quantize_pack(w, CFG)
+    y = mm.mxq_matmul(x, p, CFG, layout="bdg")
+    y_ref = (x.astype(jnp.bfloat16).astype(jnp.float32)
+             @ packfmt.unpack_dequant(p, CFG))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-2, atol=2e-1)
+
+
 @pytest.mark.parametrize("b,o,k", [(8, 256, 1024), (5, 100, 2112)])
 def test_bfexp_layout_close(b, o, k):
     """bf16 exponent-injection layout: correct to bf16 multiply-sub

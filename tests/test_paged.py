@@ -79,11 +79,14 @@ def test_int8_pool_write_and_attend_parity():
         page_ids = jnp.full((b,), 1, jnp.int32) + jnp.arange(b)
         offsets = jnp.full((b,), t, jnp.int32)
         for idx in range(L):
-            kp, vp = paged.write_tokens(kp, vp, kn, vn, page_ids, offsets,
-                                        layer_idx=jnp.int32(idx))
+            kp, vp = paged.write_tokens(
+                kp, vp, kn, vn, page_ids, offsets,
+                layer_idx=jnp.int32(idx),
+                pages_per_layer=pool.pages_per_layer)
 
-    # attend with the paged kernel on layer 0's view
-    view = lambda p: jax.tree.map(lambda a: a[0], p)   # noqa: E731
+    # attend with the paged kernel on layer 0's slice of the FOLDED pool
+    ppl = pool.pages_per_layer
+    view = lambda p: jax.tree.map(lambda a: a[:, :ppl], p)   # noqa: E731
     q = jax.random.normal(jax.random.fold_in(key, 99), (b, hkv, dd),
                           jnp.float32)
     tables = (jnp.arange(b)[:, None] + 1).astype(jnp.int32)   # 1 page/slot

@@ -85,11 +85,25 @@ def main():
             # Tolerance 2e-2 = the independent-bf16-MXU-rounding envelope
             # (measured ~4.7e-3; see bench.autotune_layout), except bfexp
             # whose in-kernel bf16 multiply-sub carries ~2x that.
-            for layout in ("slab", "quad", "bfexp"):
+            layouts = ("slab", "quad", "bfexp") + (("bdg",) if b == 1
+                                                  else ())
+            for layout in layouts:
                 y = mm.mxq_matmul(x, p, CFG, interpret=False, layout=layout)
-                err = float(jnp.max(jnp.abs(y - y_ref.astype(jnp.float32))))
-                rel = err / max(1e-9, float(jnp.max(jnp.abs(y_ref))))
-                tol = 2e-2 if layout != "bfexp" else 5e-2
+                if layout == "bdg":
+                    # bdg is EXACT vs the f32 dequant (codes + bf16 x are
+                    # exactly representable -> error-free bf16 MXU pass);
+                    # the bf16-rounded y_ref the slab bodies are gated on
+                    # would charge bdg the REFERENCE's own rounding
+                    ref32 = (x.astype(jnp.bfloat16).astype(jnp.float32)
+                             @ packfmt.unpack_dequant(p, CFG))
+                    err = float(jnp.max(jnp.abs(y - ref32)))
+                    rel = err / max(1e-9, float(jnp.max(jnp.abs(ref32))))
+                    tol = 1e-4
+                else:
+                    err = float(jnp.max(jnp.abs(
+                        y - y_ref.astype(jnp.float32))))
+                    rel = err / max(1e-9, float(jnp.max(jnp.abs(y_ref))))
+                    tol = 2e-2 if layout != "bfexp" else 5e-2
                 status = "OK " if rel < tol else "BAD"
                 print(f"[{status}] O={o} K={k} B={b} {layout:5s}: "
                       f"max_abs_err={err:.4f} rel={rel:.4g}")
