@@ -171,6 +171,35 @@ def autotune_layout(key):
         times["uniform4b_error"] = f"{type(e).__name__}: {e}"[:120]
     del pu
 
+    # uniform 2-bit g128 baseline — the reference's third kernel
+    # (gemv_cuda.cu:259-345, compiled but never exposed by its pybind
+    # dispatch); completes the four-way bf16/u4/u2/mxq table
+    wu2 = jax.random.normal(key, (11008, k), jnp.float32) * 0.02
+    pu2 = u4.quantize_pack_u2(wu2)
+    del wu2
+
+    def step_u2(c, x):
+        return fold_to_input(u4.u2_matmul(x, c), k)
+
+    try:
+        times["uniform2b"] = time_op(step_u2, xb, const=pu2)
+    except Exception as e:  # noqa: BLE001
+        times["uniform2b"] = float("inf")
+        times["uniform2b_error"] = f"{type(e).__name__}: {e}"[:120]
+    del pu2
+
+    # B=1 single-stream row: the bdg body (MXU group-partial reduction,
+    # auto-dispatched at batch 1 — docs/ROOFLINE.md) vs slab at B=1
+    x1 = jnp.ones((1, k), jnp.bfloat16)
+    for nm, lay in (("b1_bdg", "bdg"), ("b1_slab", "slab")):
+        def step1(c, x, _l=lay):
+            return fold_to_input(mm.mxq_matmul(x, c, layout=_l), k)
+        try:
+            times[nm] = time_op(step1, x1, const=p)
+        except Exception as e:  # noqa: BLE001
+            times[nm] = float("inf")
+            times[nm + "_error"] = f"{type(e).__name__}: {e}"[:120]
+
     for layout in ("slab", "quad", "bfexp"):
         def stepl(c, x, _l=layout):
             return fold_to_input(mm.mxq_matmul(x, c, layout=_l), k)
@@ -192,6 +221,104 @@ def autotune_layout(key):
     return winner, times
 
 
+def bench_paged_kv8(cfg, params):
+    """One paged decode step (horizon-1 chunk, folded int8 pool) at the
+    SAME batch/window as the slot-engine headline — the paged-vs-slot A/B
+    the r4 VERDICT asked for (the r4 layout was knowingly slower)."""
+    from mxq_tpu.serving import paged as pg
+    slots = BATCH
+    pool = pg.PagedPool.create(cfg, slots, total_pages=2 * slots + 2,
+                               max_len=CACHE_LEN, kv_bits=8)
+    for s in range(slots):
+        pool.ensure_capacity(s, CACHE_LEN)
+        pool.lengths[s] = CACHE_LEN - 1
+    const = dict(
+        params=params,
+        use_chain=jnp.zeros((slots,), bool),
+        positions=jnp.array(pool.lengths.astype(np.int32) - 1),
+        active=jnp.ones((slots,), bool),
+        tables=jnp.array(pool.page_tables))
+    carry = dict(k=pool.k_pages, v=pool.v_pages,
+                 toks=jnp.zeros((slots,), jnp.int32))
+
+    def stepp(c, carry):
+        toks, kp, vp = pg.paged_decode_chunk(
+            c["params"], carry["k"], carry["v"], carry["toks"],
+            carry["toks"], c["use_chain"], c["positions"], c["active"],
+            c["tables"], jax.random.PRNGKey(0), cfg, 1)
+        return dict(k=kp, v=vp, toks=toks[-1])
+
+    return time_op(stepp, carry, const=const)
+
+
+def bench_training(key):
+    """KD-QAT training rows (the reference's flagship flow,
+    LLM-QAT/run_train.sh): step time / tokens/s/chip / MFU at the largest
+    7B-width depth that fits, isolating the fake-quant STE cost
+    (bf16 vs qat-w2) and the remat cost."""
+    import dataclasses as _dc
+    from mxq_tpu.qat import train as qtrain
+
+    seq, bs = 2048, 1
+    out = {}
+    for depth in (4, 2):
+        try:
+            cfg = llama.LlamaConfig.llama2_7b(num_hidden_layers=depth)
+            params = llama.init_params(cfg, key, dtype=jnp.bfloat16)
+            teacher = llama.init_params(cfg, jax.random.fold_in(key, 1),
+                                        dtype=jnp.bfloat16)
+            n_params = sum(int(l.size) for l in
+                           jax.tree_util.tree_leaves(params))
+            batch = {"input_ids": jax.random.randint(
+                jax.random.fold_in(key, 2), (bs, seq), 1, cfg.vocab_size,
+                jnp.int32)}
+            rows = {}
+            configs = [
+                ("bf16_remat", 32, False, True),
+                ("qat_w2_remat", 2, False, True),
+                ("qat_w2_noremat", 2, False, False),
+                ("kd_qat_w2_remat", 2, True, True),
+            ]
+            for name, w_bits, use_kd, remat in configs:
+                ccfg = _dc.replace(cfg, w_bits=w_bits)
+                tc = qtrain.TrainConfig(use_kd=use_kd, remat=remat)
+                opt = qtrain.make_optimizer(tc)
+                opt_state = opt.init(params)
+                step = jax.jit(qtrain.make_train_step(ccfg, tc, opt))
+
+                def stepb(c, x, _s=step):
+                    p2, o2, _ = _s(x[0], c["teacher"], x[1], c["batch"])
+                    return (p2, o2)
+
+                try:
+                    t = time_op(stepb, (params, opt_state),
+                                const=dict(teacher=teacher if use_kd
+                                           else None, batch=batch),
+                                iters_lo=2, iters_hi=6, reps=2)
+                    # fwd 2PT + bwd 4PT (+ teacher fwd 2PT under KD)
+                    flops = (8 if use_kd else 6) * n_params * bs * seq
+                    rows[name] = {
+                        "ms_per_step": round(t * 1e3, 2),
+                        "tokens_per_sec_chip": round(bs * seq / t, 1),
+                        "mfu": round(flops / (t * 197e12), 4),
+                    }
+                except Exception as e:      # noqa: BLE001
+                    rows[name] = {"error": f"{type(e).__name__}: {e}"[:120]}
+                del opt_state
+                jax.clear_caches()
+            out = {"depth": depth, "seq": seq, "batch": bs,
+                   "n_params": n_params, "rows": rows}
+            del params, teacher
+            jax.clear_caches()
+            if any("error" not in r for r in rows.values()):
+                break
+        except Exception as e:              # noqa: BLE001 — try shallower
+            out = {"depth": depth,
+                   "error": f"{type(e).__name__}: {e}"[:160]}
+            jax.clear_caches()
+    return out
+
+
 def main(_retry=True):
     wd = None
     try:
@@ -201,7 +328,8 @@ def main(_retry=True):
         _ = float(jnp.sum(jnp.ones((8, 128))))
         wd.cancel()
         # stage 2: the whole bench must land inside the driver's patience
-        wd = _arm_watchdog(2400, "full-bench")
+        # (r5 adds paged A/B + 4 training rows; r4's full run took ~19 min)
+        wd = _arm_watchdog(3000, "full-bench")
         key = jax.random.PRNGKey(0)
         from mxq_tpu.ops import mxq_matmul as mm
         layout, layout_times = autotune_layout(key)
@@ -280,6 +408,22 @@ def main(_retry=True):
         t_kv8_u4h = bench_decode(cfg, params_u4h, kv_quant=True)
         del params_u4h
 
+        # paged-vs-slot A/B (folded pool layout, r5): one paged decode
+        # step at the same batch/window as the kv8 headline
+        try:
+            t_paged = bench_paged_kv8(cfg, params)
+        except Exception as e:              # noqa: BLE001
+            t_paged = float("inf")
+            paged_err = f"{type(e).__name__}: {e}"[:160]
+        else:
+            paged_err = None
+        jax.clear_caches()
+
+        del params
+        # training rows (KD-QAT, the reference's flagship flow)
+        training = bench_training(key)
+        jax.clear_caches()
+
         toks = BATCH / t_kv8
         speedup = t_bf16_32 / t_kv8
         print(json.dumps({
@@ -319,6 +463,16 @@ def main(_retry=True):
                 "t_step_bf16_32L_extrapolated_ms": round(t_bf16_32 * 1e3, 3),
                 "bf16_depths_measured": {str(k): round(v * 1e3, 3)
                                          for k, v in t_dense.items()},
+                # paged-vs-slot decode A/B (folded pool, r5): ratio <= ~1.05
+                # is the VERDICT r4 parity bar
+                "t_step_paged_kv8_ms": (round(t_paged * 1e3, 3)
+                                        if np.isfinite(t_paged) else None),
+                "paged_vs_slot_ratio": (round(t_paged / t_kv8, 3)
+                                        if np.isfinite(t_paged) else None),
+                **({"paged_error": paged_err} if paged_err else {}),
+                # KD-QAT training rows (7B width; per-config ms/step,
+                # tok/s/chip, MFU)
+                "training": training,
             },
         }))
         wd.cancel()

@@ -530,7 +530,9 @@ class ArcEasy(MultipleChoiceTask):
         def load():
             from datasets import load_dataset
             return self.convert(
-                load_dataset("ai2_arc", "ARC-Easy", split="validation"))
+                # the reference evaluates the TEST split (arc.py
+                # has_test_docs=True; evaluator.py:203-207 prefers test)
+                load_dataset("ai2_arc", "ARC-Easy", split="test"))
         return _hf_docs(load)
 
 
@@ -556,7 +558,7 @@ class ArcChallenge(MultipleChoiceTask):
         def load():
             from datasets import load_dataset
             return self.convert(load_dataset(
-                "ai2_arc", "ARC-Challenge", split="validation"))
+                "ai2_arc", "ARC-Challenge", split="test"))
         return _hf_docs(load)
 
 
@@ -601,8 +603,12 @@ class SIQA(MultipleChoiceTask):
 
 
 class OpenBookQA(MultipleChoiceTask):
-    """OBQA: context is the bare question stem (tasks/openbookqa.py:55-65)."""
-    name = "obqa"
+    """OBQA: context is the bare question stem (tasks/openbookqa.py:55-65).
+    Registered under the reference's name ``openbookqa``
+    (tasks/__init__.py:139); ``obqa`` kept as an alias. Evaluates the TEST
+    split (openbookqa.py has_test_docs=True -> the evaluator prefers test,
+    evaluator.py:203-207)."""
+    name = "openbookqa"
 
     @staticmethod
     def convert(rows) -> list[MCDoc]:
@@ -614,7 +620,7 @@ class OpenBookQA(MultipleChoiceTask):
         def load():
             from datasets import load_dataset
             return self.convert(
-                load_dataset("openbookqa", "main", split="validation"))
+                load_dataset("openbookqa", "main", split="test"))
         return _hf_docs(load)
 
 
@@ -680,7 +686,8 @@ class SciQ(MultipleChoiceTask):
     def docs(self):
         def load():
             from datasets import load_dataset
-            return self.convert(load_dataset("sciq", split="validation"))
+            # TEST split, like the reference (sciq.py has_test=True)
+            return self.convert(load_dataset("sciq", split="test"))
         return _hf_docs(load)
 
 
@@ -773,7 +780,8 @@ class LogiQA(MultipleChoiceTask):
         def load():
             from datasets import load_dataset
             return self.convert(load_dataset(
-                "lucasmccabe/logiqa", split="validation"))
+                # TEST split, like the reference (logiqa.py has_test=True)
+                "lucasmccabe/logiqa", split="test"))
         return _hf_docs(load)
 
 
@@ -1343,6 +1351,57 @@ TASKS = {t.name: t for t in (PIQA(), Winogrande(), HellaSwag(), ArcEasy(),
                              WSC273(), TruthfulQAMC(),
                              *(ANLI(r) for r in (1, 2, 3)),
                              *(MMLU(s) for s in MMLU_SUBJECTS))}
+TASKS["obqa"] = TASKS["openbookqa"]      # pre-r5 alias (reference name wins)
+
+
+# ---------------------------------------------------------------------------
+# Reference request-stream reproduction (testdata cross-pinning)
+# ---------------------------------------------------------------------------
+#
+# The reference pins request construction per task with 698 golden files
+# (lm-evaluation-harness/tests/testdata/<task>-v0-loglikelihood = sha256 of
+# the json-dumped request list). Reproducing those hashes closes the loop
+# the offline fixtures cannot: a format error made while WRITING a fixture
+# is pinned, not caught. Protocol (tests/test_version_stable.py +
+# evaluator.py:203-231):
+#   * docs = list(test_docs() if has_test else validation_docs()) in
+#     dataset source order, then random.Random(42).shuffle
+#   * zero-shot ctx = doc_to_text(doc); one (ctx, " " + choice) per choice
+#     (base.py:604-617, vanilla MultipleChoiceTask construct_requests)
+#   * hash = sha256(json.dumps(list_of_request_tuples, sort_keys=True))
+
+
+def reference_loglikelihood_requests(task) -> "list[tuple[str, str]]":
+    """The reference evaluator's loglikelihood request stream for a
+    vanilla-MC task, from our MCDoc docs. Valid for task families whose
+    reference class inherits MultipleChoiceTask without overriding
+    construct_requests (arc, headqa, hellaswag, hendrycksTest, logiqa,
+    mathqa, openbookqa, piqa, prost, qa4mre, sciq, swag, toxigen); our
+    docs() must return the same split in source order (it does — the
+    split audit is part of this feature)."""
+    import random as _random
+    docs = list(task.docs() or [])
+    if not docs:
+        raise RuntimeError(f"task {task.name!r}: dataset unavailable")
+    rnd = _random.Random()
+    rnd.seed(42)
+    rnd.shuffle(docs)
+    reqs = []
+    for d in docs:
+        for ch in d.choices:
+            reqs.append((d.context, " " + ch))
+    return reqs
+
+
+def reference_request_hash(reqs: "list[tuple[str, str]]") -> str:
+    """sha256 over the json-dumped request list — byte-identical to the
+    reference's assert_target_hashed (tests/test_version_stable.py:30-46:
+    ``hashlib.sha256(json.dumps(ob, sort_keys=True).encode()).hexdigest()``
+    where ob is the list of (ctx, continuation) tuples)."""
+    import hashlib
+    import json as _json
+    return hashlib.sha256(
+        _json.dumps(reqs, sort_keys=True).encode("utf-8")).hexdigest()
 
 
 def all_tasks() -> dict:

@@ -236,7 +236,8 @@ class PilePerplexity(_TaskBase):
     def texts(self) -> Optional[list[str]]:
         def load():
             from datasets import load_dataset
-            ds = load_dataset("EleutherAI/pile", "all", split="validation")
+            # TEST split, like the reference (pile.py has_test=True)
+            ds = load_dataset("EleutherAI/pile", "all", split="test")
             return [d["text"] for d in ds
                     if d.get("meta", {}).get("pile_set_name") ==
                     self.set_name]
