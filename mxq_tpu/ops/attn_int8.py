@@ -552,6 +552,8 @@ def int8_decode_attention_reference(q, k_codes, k_scale, v_codes, v_scale,
 # code blocks are (32, 128)-tile aligned.
 
 PAGE_INT8 = 128
+# kv-heads per paged-attention grid step (tunable; see _paged_attn_call)
+PAGED_HEAD_BLOCK = int(_os.environ.get("MXQ_PAGED_HEAD_BLOCK", "32"))
 
 
 def _kernel_paged(len_ref, tbl_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
@@ -605,8 +607,13 @@ def _paged_attn_call(q, kc, ks, vc, vs, lengths, tables, *, interpret):
     npages = tables.shape[1]
     # head-block like the dense kernel: HB heads share one grid step's
     # page DMA + batched MXU dots (one head/step measured 6.5x slower
-    # than the upstream bf16 kernel; grid-step count dominates)
-    hb = min(hkv, 8)
+    # than the upstream bf16 kernel; grid-step count dominates). r5: the
+    # kernel is grid-STEP-bound, not DMA-bound (r4's 100.6 us/layer ~=
+    # 64 steps x ~1.5 us at 5x the 20.5 us byte floor), so the block
+    # takes ALL kv heads when VMEM allows — each block costs
+    # hb*(2*page*d + 2*page*2B + g8*d*...) ~ hb*33 KB at page=d=128,
+    # well under scope even at hb=32 with double buffering.
+    hb = min(hkv, PAGED_HEAD_BLOCK)
     while hkv % hb:
         hb -= 1
     grid = (b, hkv // hb, npages)
