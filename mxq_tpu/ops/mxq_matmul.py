@@ -410,12 +410,19 @@ def _bdg_kernel(xbd_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
 
 
 @functools.lru_cache(maxsize=None)
+def _bdg_mask_np():
+    """[48, 768] 0/1 bf16 as NUMPY (cached host-side — caching a jnp array
+    would capture a tracer when first touched inside a jit/scan trace)."""
+    import numpy as _np
+    import ml_dtypes as _mld
+    grp = _np.arange(K2T) % W2_ROWS
+    return (grp[None, :] == _np.arange(W2_ROWS)[:, None]).astype(
+        _mld.bfloat16)
+
+
 def _bdg_mask() -> "jnp.ndarray":
     """[48, 768] 0/1 bf16: stacked-code row j*48 + r belongs to group r."""
-    import numpy as _np
-    grp = _np.arange(K2T) % W2_ROWS
-    return jnp.asarray(grp[None, :] == _np.arange(W2_ROWS)[:, None],
-                       jnp.bfloat16)
+    return jnp.asarray(_bdg_mask_np())
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "km", "interpret"))
@@ -1034,6 +1041,108 @@ def _stacked_kernel(idx_ref, x2_ref, x4_ref, w2_ref, w4_ref, meta_ref,
                       kt_mult=kt_mult)
 
 
+@functools.partial(jax.jit, static_argnames=("block_n", "km", "interpret",
+                                             "n_kt"))
+def _mxq_matmul_stacked_bdg_padded(idx, xbd, x4, w2, w4, meta2, qscale,
+                                   qmin, *, block_n, km, interpret, n_kt):
+    """Stacked-layer bdg: same body as _bdg_kernel, weights addressed via
+    scalar-prefetch layer offsets in the index maps (no per-layer
+    dynamic-slice copies of the packed stack — the same trick as
+    _mxq_matmul_stacked_padded)."""
+    n = meta2.shape[1]
+    n_blk = n_kt // km
+    grid = (1, n // block_n, n_blk)
+    kernel = functools.partial(_stacked_bdg_kernel, km=km)
+
+    def wspec(rows):
+        return pl.BlockSpec(
+            (rows * km, block_n),
+            lambda bi, ni, ki, s: (s[0] * n_blk + ki, ni),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((W2_ROWS, K2T * km), lambda bi, ni, ki, s: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K4T * km, 8), lambda bi, ni, ki, s: (ki, 0),
+                         memory_space=pltpu.VMEM),
+            wspec(W2_ROWS),
+            wspec(W4_ROWS),
+            wspec(NB_TILE),
+            wspec(NB_TILE),
+            wspec(NB_TILE),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, block_n), lambda bi, ni, ki, s: (0, ni)),
+            pl.BlockSpec((8, block_n), lambda bi, ni, ki, s: (0, ni)),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, block_n), jnp.float32),
+                        pltpu.VMEM((8, block_n), jnp.float32),
+                        pltpu.VMEM((K2T, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((8, n), jnp.float32),
+                   jax.ShapeDtypeStruct((8, n), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(jnp.asarray([idx], jnp.int32), xbd, x4, w2, w4, meta2, qscale, qmin)
+
+
+def _stacked_bdg_kernel(idx_ref, xbd_ref, x4_ref, w2_ref, w4_ref, meta_ref,
+                        qs_ref, qm_ref, out_ref, out4_ref, acc_ref,
+                        acc4_ref, cs_ref, *, km):
+    del idx_ref          # consumed by the index maps
+    _bdg_kernel(xbd_ref, x4_ref, w2_ref, w4_ref, meta_ref, qs_ref, qm_ref,
+                out_ref, out4_ref, acc_ref, acc4_ref, cs_ref, km=km)
+
+
+def _mxq_matmul_stacked_bdg(x, p: PackedMXQLinear, layer_idx,
+                            cfg: MXQConfig, block_n, interpret):
+    """B=1 stacked-layer GEMV through the bdg body (single-stream serving:
+    engine decode at num_slots=1 routes here)."""
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, x.shape[-1]))
+    l, nbp, n = p.meta2.shape
+    n_kt = nbp // NB_TILE
+    if block_n is None:
+        block_n = min(_auto_block_n(n), 1024)
+    km = 2 if n_kt % 2 == 0 and (n // block_n) * (n_kt // 2) >= 8 else 1
+    single = PackedMXQLinear(
+        w2=p.w2.reshape(l * p.w2.shape[1], n),
+        w4=p.w4.reshape(l * p.w4.shape[1], n),
+        meta2=p.meta2.reshape(l * nbp, n),
+        qscale=p.qscale.reshape(l * nbp, n),
+        qmin=p.qmin.reshape(l * nbp, n),
+        smeta4=p.smeta4.reshape(l * 8, n),
+        in_features=p.in_features, out_features=p.out_features)
+    geom = PackedMXQLinear(
+        w2=p.w2[0], w4=p.w4[0], meta2=p.meta2[0], qscale=p.qscale[0],
+        qmin=p.qmin[0], smeta4=p.smeta4[0],
+        in_features=p.in_features, out_features=p.out_features)
+    x2, x4 = packfmt.pad_inputs_split(xb, geom, cfg)
+    x2p = permute_x2(x2, n_kt).astype(jnp.bfloat16)
+    x4u = x4.astype(jnp.bfloat16)
+    xbd = jnp.moveaxis(
+        jnp.where(_bdg_mask()[None], x2p.reshape(n_kt, 1, K2T), 0.0),
+        0, 1).reshape(W2_ROWS, n_kt * K2T)
+    x4t = jnp.pad(permute_x4(x4, n_kt).astype(jnp.bfloat16),
+                  ((0, 7), (0, 0))).T
+    out, out4 = _mxq_matmul_stacked_bdg_padded(
+        layer_idx, xbd, x4t, single.w2, single.w4, single.meta2,
+        single.qscale, single.qmin, block_n=block_n, km=km,
+        interpret=interpret, n_kt=n_kt)
+    sm_l = jax.lax.dynamic_index_in_dim(p.smeta4, layer_idx, 0,
+                                        keepdims=False)   # [8, n]
+    y = _epilogue(out[0:1], out4[0:1], x4u, sm_l[0:1], sm_l[1:2], "slab")
+    return y[:, : p.out_features].astype(x.dtype).reshape(
+        lead + (p.out_features,))
+
+
 def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
                        cfg: MXQConfig = DEFAULT_SCHEME,
                        block_b: int = 128, block_n: int | None = None,
@@ -1043,8 +1152,17 @@ def mxq_matmul_stacked(x: jax.Array, p: PackedMXQLinear, layer_idx,
     leaves. ``layer_idx`` may be a traced scalar (scan carry)."""
     if interpret is None:
         interpret = _on_cpu()
+    b_actual = 1
+    for dd in x.shape[:-1]:
+        b_actual *= dd
     if layout is None:
-        layout = GEMV_LAYOUT
+        layout = (os.environ.get("MXQ_GEMV_LAYOUT_B1", "bdg")
+                  if b_actual == 1 else GEMV_LAYOUT)
+    if layout == "bdg":
+        if b_actual == 1:
+            return _mxq_matmul_stacked_bdg(x, p, layer_idx, cfg, block_n,
+                                           interpret)
+        layout = GEMV_LAYOUT if GEMV_LAYOUT != "bdg" else "slab"
     if block_n is None:
         block_n = _auto_block_n(p.meta2.shape[-1])
     lead = x.shape[:-1]

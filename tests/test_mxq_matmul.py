@@ -63,6 +63,33 @@ def test_bdg_kt_mult_and_3d():
                                atol=1e-4)
 
 
+def test_stacked_bdg_b1_exact_and_scan():
+    """Stacked-layer bdg (single-stream serving path): exact per layer,
+    including a traced layer index under lax.scan."""
+    l, o, k = 3, 128, 2048
+    keys = jax.random.split(jax.random.PRNGKey(0), l)
+    ps = [packfmt.quantize_pack(
+        jax.random.normal(kk, (o, k), jnp.float32), CFG) for kk in keys]
+    st = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *ps)
+    stacked = packfmt.PackedMXQLinear(
+        w2=st.w2, w4=st.w4, meta2=st.meta2, qscale=st.qscale, qmin=st.qmin,
+        smeta4=st.smeta4, in_features=k, out_features=o)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, k), jnp.float32)
+
+    def scan_fn(carry, li):
+        return carry, mm.mxq_matmul_stacked(carry, stacked, li, CFG)
+
+    _, ys = jax.lax.scan(scan_fn, x, jnp.arange(l, dtype=jnp.int32))
+    for li in range(l):
+        ref = (x.astype(jnp.bfloat16).astype(jnp.float32)
+               @ packfmt.unpack_dequant(ps[li], CFG))[:, :o]
+        y1 = mm.mxq_matmul_stacked(x, stacked, jnp.int32(li), CFG)
+        for y in (y1, ys[li]):
+            rel = float(jnp.max(jnp.abs(y - ref))
+                        / (jnp.max(jnp.abs(ref)) + 1e-9))
+            assert rel < 1e-4, (li, rel)
+
+
 def test_bdg_requested_at_larger_batch_falls_back():
     """layout='bdg' with B>1 silently falls back to a per-slab body (the
     dense block-diagonal MXU cost scales with B)."""

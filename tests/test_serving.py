@@ -810,6 +810,26 @@ class TestStackedInt8Attention:
                                        rtol=1e-5, atol=1e-6, err_msg=str(li))
 
 
+class TestSingleSlotPackedEngine:
+    def test_num_slots_1_matches_multi_slot(self):
+        """Single-stream serving (num_slots=1) routes B=1 decode GEMVs
+        through the STACKED bdg body; generations must equal the 2-slot
+        packed engine's for the same prompt."""
+        cfg = llama.LlamaConfig.tiny()
+        params = llama.init_params(cfg, jax.random.PRNGKey(2))
+        packed = llama.quantize_params_packed(params, cfg)
+        prompt = np.arange(5, dtype=np.int32) + 11
+        outs = []
+        for slots in (1, 2):
+            e = eng.Engine(packed, cfg, eng.EngineConfig(
+                num_slots=slots, max_len=64, prefill_buckets=(16,),
+                kv_quant=False))
+            r = e.submit(prompt, max_new_tokens=6)
+            e.run()
+            outs.append(list(r.generated[:6]))
+        assert outs[0] == outs[1], outs
+
+
 class TestPackedLMHead:
     def test_u4_lm_head_logit_parity_and_engine(self):
         """EngineConfig.lm_head_bits=4 packs lm_head to uniform-4b; logits
