@@ -655,6 +655,364 @@ def _paged_attn_call(q, kc, ks, vc, vs, lengths, tables, *, interpret):
       q, kc, ks, vc, vs)
 
 
+def _kernel_paged_cur(len_ref, tbl_ref, q_ref, kc_ref, ks_ref, vc_ref,
+                      vs_ref, kcur_ref, kscur_ref, vcur_ref, vscur_ref,
+                      o_ref, m_ref, l_ref, acc_ref, *, scale, npages):
+    """_kernel_paged with the CURRENT token handled OUT-OF-CACHE: cache
+    rows mask strictly below ``len_ref`` (= the write position) and the
+    current token's quantized K/V fold into the flash accumulation at the
+    last page — so the caller can defer the pool write to one post-scan
+    commit (the per-layer scatter chain copied the pool per layer per
+    step: depth-8 A/B measured 6.5 vs 2.25 ms/step before this)."""
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = len_ref[b]                                # rows < length valid
+    base = p * PAGE_INT8
+    q = q_ref[0]                                       # [HB, G8, D] bf16
+    kc = kc_ref[:, 0]                                  # [HB, PAGE, D] int8
+    ks = ks_ref[:, 0]                                  # [HB, 1, PAGE] bf16
+    st = jax.lax.dot_general(
+        q, kc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [HB, G8, PAGE]
+    st = st * (ks.astype(jnp.float32) * scale)
+    rows = jax.lax.broadcasted_iota(jnp.int32, st.shape, 2)
+    valid = (base + rows) < length
+    st = jnp.where(valid, st, NEG)
+
+    m_old = m_ref[...]                                 # [HB, G8, 1]
+    m_new = jnp.maximum(m_old, jnp.max(st, axis=2, keepdims=True))
+    pexp = jnp.where(valid, jnp.exp(st - m_new), 0.0)
+    alpha = jnp.exp(m_old - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(pexp, axis=2, keepdims=True)
+    pv = (pexp * vs_ref[:, 0].astype(jnp.float32)).astype(jnp.bfloat16)
+    pvv = jax.lax.dot_general(
+        pv, vc_ref[:, 0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha + pvv
+    m_ref[...] = m_new
+
+    @pl.when(p == npages - 1)
+    def _():
+        # fold the current token in (same bf16 rounding as the dense
+        # deferred path, _attend cur branch, for bit-compatibility)
+        stc = jax.lax.dot_general(
+            q, kcur_ref[0], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [HB, G8, 1]
+        stc = stc * (kscur_ref[0].astype(jnp.float32) * scale)
+        m_fin = jnp.maximum(m_ref[...], stc)
+        alpha2 = jnp.exp(m_ref[...] - m_fin)
+        pc = jnp.exp(stc - m_fin)
+        l_fin = l_ref[...] * alpha2 + pc
+        pcb = (pc * vscur_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+        acc_fin = acc_ref[...] * alpha2 + (
+            pcb.astype(jnp.float32)
+            * vcur_ref[0].astype(jnp.float32))         # bcast [HB, G8, D]
+        o_ref[0] = (acc_fin / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _paged_attn_call_cur(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
+                         positions, tables, *, interpret):
+    b, hkv, g8, d = q.shape
+    _, _, page, _ = kc.shape
+    npages = tables.shape[1]
+    hb = min(hkv, PAGED_HEAD_BLOCK)
+    while hkv % hb:
+        hb -= 1
+    grid = (b, hkv // hb, npages)
+    scale = 1.0 / float(np.sqrt(d))
+
+    def page_spec(shp2):
+        return pl.BlockSpec(
+            (hb, 1) + shp2,
+            lambda bi, hi, p, lens, tbl: (hi, tbl[bi, p], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def cur_spec(shp2):
+        return pl.BlockSpec(
+            (1, hb) + shp2, lambda bi, hi, p, lens, tbl: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,       # positions, tables
+        grid=grid,
+        in_specs=[
+            cur_spec((g8, d)),                         # q
+            page_spec((page, d)),                      # k codes
+            page_spec((1, page)),                      # k scales
+            page_spec((page, d)),                      # v codes
+            page_spec((1, page)),                      # v scales
+            cur_spec((1, d)),                          # current k codes
+            cur_spec((1, 1)),                          # current k scale
+            cur_spec((1, d)),                          # current v codes
+            cur_spec((1, 1)),                          # current v scale
+        ],
+        out_specs=cur_spec((g8, d)),
+        scratch_shapes=[
+            pltpu.VMEM((hb, g8, 1), jnp.float32),
+            pltpu.VMEM((hb, g8, 1), jnp.float32),
+            pltpu.VMEM((hb, g8, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_paged_cur, scale=scale, npages=npages),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g8, d), jnp.float32),
+        interpret=interpret,
+    )(positions.astype(jnp.int32), tables.astype(jnp.int32),
+      q, kc, ks, vc, vs, kcur, kscur, vcur, vscur)
+
+
+def _kernel_paged_cur_write(len_ref, tbl_ref, null_ref, q_ref, kc_ref,
+                            ks_ref, vc_ref, vs_ref, kcur_ref, kscur_ref,
+                            vcur_ref, vscur_ref, o_ref, okoct_ref,
+                            oksoct_ref, ovoct_ref, ovsoct_ref, m_ref,
+                            l_ref, acc_ref, *, scale, npages):
+    """_kernel_paged_cur + IN-KERNEL ALIASED POOL WRITES: the current
+    token's code row and scale lane commit through aliased 8-row-octet /
+    scale-row output windows (the dense fused kernel's pattern,
+    _attn_call_cur_write) — replacing the post-scan jnp scatters, which
+    forced XLA to relayout the whole pool (two 75 MB copies per codes
+    buffer per step at depth 8, AOT HLO copy.106/111).
+
+    The octet's sibling rows come from the ATTENTION page block — resident
+    exactly at the grid step whose page is the write page; other steps'
+    output windows are index-mapped to the layer's NULL page (a second
+    input reading the pool would break the aliasing: XLA protects the
+    duplicate use with a defensive whole-pool copy, measured 8.1 ms/step
+    at depth 8)."""
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    pos = len_ref[b]
+    base = p * PAGE_INT8
+    q = q_ref[0]                                       # [HB, G8, D] bf16
+    kc = kc_ref[:, 0]                                  # [HB, PAGE, D] int8
+    ks = ks_ref[:, 0]                                  # [HB, 1, PAGE] bf16
+    st = jax.lax.dot_general(
+        q, kc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    st = st * (ks.astype(jnp.float32) * scale)
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, st.shape, 2)
+    valid = (base + rows3) < pos
+    st = jnp.where(valid, st, NEG)
+
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, jnp.max(st, axis=2, keepdims=True))
+    pexp = jnp.where(valid, jnp.exp(st - m_new), 0.0)
+    alpha = jnp.exp(m_old - m_new)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(pexp, axis=2, keepdims=True)
+    pv = (pexp * vs_ref[:, 0].astype(jnp.float32)).astype(jnp.bfloat16)
+    pvv = jax.lax.dot_general(
+        pv, vc_ref[:, 0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha + pvv
+    m_ref[...] = m_new
+
+    del null_ref         # consumed by the output index maps
+    kcur = kcur_ref[0]                                 # [HB, 1, D] int8
+    vcur = vcur_ref[0]
+    kscur = kscur_ref[0]                               # [HB, 1, 1] bf16
+    vscur = vscur_ref[0]
+
+    @pl.when(p == npages - 1)
+    def _():
+        stc = jax.lax.dot_general(
+            q, kcur, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [HB, G8, 1]
+        stc = stc * (kscur.astype(jnp.float32) * scale)
+        m_fin = jnp.maximum(m_ref[...], stc)
+        alpha2 = jnp.exp(m_ref[...] - m_fin)
+        pc = jnp.exp(stc - m_fin)
+        l_fin = l_ref[...] * alpha2 + pc
+        pcb = (pc * vscur.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc_fin = acc_ref[...] * alpha2 + (
+            pcb.astype(jnp.float32) * vcur.astype(jnp.float32))
+        o_ref[0] = (acc_fin / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+    # ---- aliased pool writes ----
+    # sibling rows come from the resident attention blocks; at p != the
+    # write-page step the output windows land on the null page (index
+    # maps), so the garbage composed there is never read
+    off = pos % PAGE_INT8
+    base = (off // 8) * 8
+    r = off - base
+    wink = kc_ref[:, 0, pl.ds(base, 8), :]             # [HB, 8, D]
+    winv = vc_ref[:, 0, pl.ds(base, 8), :]
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, wink.shape, 1)
+    okoct_ref[:, 0] = jnp.where(rows8 == r, kcur, wink)
+    ovoct_ref[:, 0] = jnp.where(rows8 == r, vcur, winv)
+    wins_k = ks_ref[:, 0]                              # [HB, 1, PAGE]
+    wins_v = vs_ref[:, 0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, wins_k.shape, 2)
+    oksoct_ref[:, 0] = jnp.where(lanes == off, kscur, wins_k)
+    ovsoct_ref[:, 0] = jnp.where(lanes == off, vscur, wins_v)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _paged_attn_call_cur_write(q, kc, ks, vc, vs, kcur, kscur, vcur, vscur,
+                               positions, tables, nulls, *, interpret):
+    b, hkv, g8, d = q.shape
+    _, _, page, _ = kc.shape
+    npages = tables.shape[1]
+    hb = min(hkv, PAGED_HEAD_BLOCK)
+    while hkv % hb:
+        hb -= 1
+    grid = (b, hkv // hb, npages)
+    scale = 1.0 / float(np.sqrt(d))
+
+    def page_spec(shp2):
+        return pl.BlockSpec(
+            (hb, 1) + shp2,
+            lambda bi, hi, p, lens, tbl, nul: (hi, tbl[bi, p], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def cur_spec(shp2):
+        return pl.BlockSpec(
+            (1, hb) + shp2,
+            lambda bi, hi, p, lens, tbl, nul: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    # write windows: ON the step whose page is the write page they map to
+    # the octet / scale row holding ``positions[b]``; on every other step
+    # they land on the layer's NULL page (never read), so each step can
+    # write unconditionally and only the resident-sibling composition
+    # sticks
+    def oct_spec():
+        def imap(bi, hi, p, lens, tbl, nul):
+            on = p == lens[bi] // page
+            return (hi, jnp.where(on, tbl[bi, p], nul[bi]),
+                    jnp.where(on, (lens[bi] % page) // 8, 0), 0)
+        return pl.BlockSpec((hb, 1, 8, d), imap, memory_space=pltpu.VMEM)
+
+    def srow_spec():
+        def imap(bi, hi, p, lens, tbl, nul):
+            on = p == lens[bi] // page
+            return (hi, jnp.where(on, tbl[bi, p], nul[bi]), 0, 0)
+        return pl.BlockSpec((hb, 1, 1, page), imap,
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,       # positions, tables, nulls
+        grid=grid,
+        in_specs=[
+            cur_spec((g8, d)),                         # q
+            page_spec((page, d)),                      # k codes (pool)
+            page_spec((1, page)),                      # k scales (pool)
+            page_spec((page, d)),                      # v codes (pool)
+            page_spec((1, page)),                      # v scales (pool)
+            cur_spec((1, d)),                          # current k codes
+            cur_spec((1, 1)),                          # current k scale
+            cur_spec((1, d)),                          # current v codes
+            cur_spec((1, 1)),                          # current v scale
+        ],
+        out_specs=[
+            cur_spec((g8, d)),                         # ctx
+            oct_spec(),                                # k octet (aliased)
+            srow_spec(),                               # k scales (aliased)
+            oct_spec(),                                # v octet (aliased)
+            srow_spec(),                               # v scales (aliased)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hb, g8, 1), jnp.float32),
+            pltpu.VMEM((hb, g8, 1), jnp.float32),
+            pltpu.VMEM((hb, g8, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_paged_cur_write, scale=scale,
+                          npages=npages),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, g8, d), jnp.float32),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ],
+        # input indices INCLUDE the 3 scalar-prefetch args; q is input 3,
+        # the pool arrays are 4..7 — aliased onto outputs 1..4. Each pool
+        # array is passed exactly ONCE (a duplicate use would make XLA
+        # copy the whole pool defensively: measured 8.1 ms/step, depth 8)
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        interpret=interpret,
+    )(positions.astype(jnp.int32), tables.astype(jnp.int32),
+      nulls.astype(jnp.int32), q, kc, ks, vc, vs, kcur, kscur, vcur,
+      vscur)
+
+
+def int8_paged_decode_attend_update(q, k_pages, k_scales, v_pages,
+                                    v_scales, kcur, kscur, vcur, vscur,
+                                    positions, page_tables, null_pages,
+                                    interpret: bool | None = None):
+    """Fused deferred-write paged decode attention: attends cache rows
+    < positions plus the out-of-cache current token AND commits the
+    current token's code row + scale lane into the pool through aliased
+    in-kernel writes. Returns (ctx [B, H_q, D] f32, k_pages, k_scales,
+    v_pages, v_scales). The caller must donate the pool buffers (scan
+    carry / jit donation) for the aliasing to be copy-free.
+
+    kcur/vcur: [B, KVH, D] int8; kscur/vscur: [B, KVH] — quantized with
+    kvcache.quantize_kv semantics. ``null_pages`` [B]: a physical page
+    index per slot that is never read (the layer's null page) — the
+    non-write-step output windows land there. Requires positions < pool
+    capacity (the engine's near-capacity clamp guarantees it)."""
+    if interpret is None:
+        interpret = _on_cpu()
+    b, hq, d = q.shape
+    hkv = k_pages.shape[0]
+    g = hq // hkv
+    g8 = max(8, g)
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    if g8 != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
+    ctx, kc2, ks2, vc2, vs2 = _paged_attn_call_cur_write(
+        qg, k_pages, k_scales, v_pages, v_scales,
+        kcur[:, :, None, :], kscur[:, :, None, None].astype(jnp.bfloat16),
+        vcur[:, :, None, :], vscur[:, :, None, None].astype(jnp.bfloat16),
+        positions, page_tables, null_pages, interpret=interpret)
+    return (ctx[:, :, :g, :].reshape(b, hq, d), kc2, ks2, vc2, vs2)
+
+
+def int8_paged_decode_attention_cur(q, k_pages, k_scales, v_pages,
+                                    v_scales, kcur, kscur, vcur, vscur,
+                                    positions, page_tables,
+                                    interpret: bool | None = None
+                                    ) -> jax.Array:
+    """Deferred-write paged decode attention: cache rows < positions[b]
+    plus the out-of-cache current token (kcur/vcur [B, KVH, D] int8,
+    kscur/vscur [B, KVH] bf16). The caller commits the current rows to the
+    pool AFTER the layer scan (one scatter per buffer per step)."""
+    if interpret is None:
+        interpret = _on_cpu()
+    b, hq, d = q.shape
+    hkv = k_pages.shape[0]
+    g = hq // hkv
+    g8 = max(8, g)
+    qg = q.reshape(b, hkv, g, d).astype(jnp.bfloat16)
+    if g8 != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g8 - g), (0, 0)))
+    out = _paged_attn_call_cur(
+        qg, k_pages, k_scales, v_pages, v_scales,
+        kcur[:, :, None, :], kscur[:, :, None, None].astype(jnp.bfloat16),
+        vcur[:, :, None, :], vscur[:, :, None, None].astype(jnp.bfloat16),
+        positions, page_tables, interpret=interpret)
+    return out[:, :, :g, :].reshape(b, hq, d)
+
+
 def int8_paged_decode_attention(q, k_pages, k_scales, v_pages, v_scales,
                                 lengths, page_tables,
                                 interpret: bool | None = None) -> jax.Array:

@@ -369,23 +369,50 @@ def _paged_decode_one(params, k_pages, v_pages, tokens, positions, lengths,
         q, k = llama.apply_rope(q, k, cos, sin)
 
         ppl = _pool_codes(k_pages).shape[1] // cfg.num_hidden_layers
-        k_pages, v_pages = write_tokens(k_pages, v_pages, k[:, 0], v[:, 0],
-                                        page_ids, offsets, layer_idx=idx,
-                                        pages_per_layer=ppl)
         # FOLDED addressing: no layer view (the r4 dynamic_index here
         # copied the whole layer's pool per layer per step) — the kernels
         # gather layer ``idx``'s pages through offset physical indices
         lp_tables = idx * ppl + page_tables           # [B, pps] in-graph
-        ctx = paged_attend(q[:, 0], k_pages, v_pages, lengths, lp_tables)
+        if isinstance(k_pages, dict):
+            # FUSED WRITE (int8 pool): the cur-token kernel attends cache
+            # rows < positions plus the out-of-cache current K/V AND
+            # commits the current row through aliased in-kernel octet
+            # writes. History: per-layer jnp scatters copied the pool per
+            # layer per step (depth-8 A/B 6.5 ms); post-scan scatters
+            # still forced two whole-pool layout copies per buffer per
+            # step (AOT HLO) — the aliased kernel writes remove both, the
+            # same progression the dense engine went through in r3-r4.
+            from mxq_tpu.serving import kvcache
+            from mxq_tpu.ops import attn_int8 as _a8
+            kcod, kscl = kvcache.quantize_kv(k[:, 0].astype(jnp.float32),
+                                             d)
+            vcod, vscl = kvcache.quantize_kv(v[:, 0].astype(jnp.float32),
+                                             d)
+            kscl, vscl = kscl[..., 0], vscl[..., 0]   # [B, KVH]
+            nulls = jnp.full((b,), idx * ppl, jnp.int32)
+            ctx, kc2, ks2, vc2, vs2 = _a8.int8_paged_decode_attend_update(
+                q[:, 0], k_pages["codes"], k_pages["scales"],
+                v_pages["codes"], v_pages["scales"],
+                kcod, kscl, vcod, vscl, positions, lp_tables, nulls)
+            k_pages = {"codes": kc2, "scales": ks2}
+            v_pages = {"codes": vc2, "scales": vs2}
+            pend = None
+        else:
+            k_pages, v_pages = write_tokens(
+                k_pages, v_pages, k[:, 0], v[:, 0], page_ids, offsets,
+                layer_idx=idx, pages_per_layer=ppl)
+            ctx = paged_attend(q[:, 0], k_pages, v_pages, lengths,
+                               lp_tables)
+            pend = None
         ctx = ctx.reshape(b, 1, nh * d).astype(x.dtype)
         x = x + llama.quant_linear(ctx, layer["o_proj"], cfg)
         h2 = llama.rms_norm(x, layer["post_attention_layernorm"],
                             cfg.rms_norm_eps)
         x = x + llama.mlp(h2, layer, cfg)
-        return (x, k_pages, v_pages), None
+        return (x, k_pages, v_pages), pend
 
     idxs = jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)
-    (x, k_pages, v_pages), _ = jax.lax.scan(
+    (x, k_pages, v_pages), pend = jax.lax.scan(
         body, (x, k_pages, v_pages), (idxs, dense_stacks))
     x = llama.rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head")

@@ -240,3 +240,110 @@ def test_admit_rollback_on_pool_exhaustion():
     assert (e.pool.page_tables[1] == 0).all()
     for p in range(1, 4):
         assert e.pool.refs[p] == (1 if p in pages_r1 else 0)
+
+
+def test_paged_cur_kernel_matches_write_then_attend():
+    """Deferred-write paged attention (cur token out-of-cache) must equal
+    write-then-attend through the plain paged kernel: same pool, same
+    quantized row, positions[b] = the row being written."""
+    import jax.numpy as jnp
+    from mxq_tpu.ops import attn_int8
+    from mxq_tpu.serving import kvcache
+
+    kvh, d, b = 4, 128, 3
+    ps = attn_int8.PAGE_INT8
+    npool, pps = 8, 2
+    key = jax.random.PRNGKey(0)
+    kc = jax.random.randint(key, (kvh, npool, ps, d), -127, 128, jnp.int8)
+    ks = (jax.random.uniform(key, (kvh, npool, 1, ps)) * 0.02 + 1e-3
+          ).astype(jnp.bfloat16)
+    vc = jax.random.randint(jax.random.fold_in(key, 1),
+                            (kvh, npool, ps, d), -127, 128, jnp.int8)
+    vs = (jax.random.uniform(jax.random.fold_in(key, 2),
+                             (kvh, npool, 1, ps)) * 0.02 + 1e-3
+          ).astype(jnp.bfloat16)
+    tables = jnp.array([[1, 2], [3, 4], [5, 6]], jnp.int32)
+    positions = jnp.array([ps - 1, 5, ps + 17], jnp.int32)  # write rows
+    q = jax.random.normal(jax.random.fold_in(key, 3), (b, kvh * 2, d),
+                          jnp.float32)
+    knew = jax.random.normal(jax.random.fold_in(key, 4), (b, kvh, d),
+                             jnp.float32)
+    vnew = jax.random.normal(jax.random.fold_in(key, 5), (b, kvh, d),
+                             jnp.float32)
+    kcod, kscl = kvcache.quantize_kv(knew, d)
+    vcod, vscl = kvcache.quantize_kv(vnew, d)
+    kscl, vscl = kscl[..., 0], vscl[..., 0]
+
+    out_cur = attn_int8.int8_paged_decode_attention_cur(
+        q, kc, ks, vc, vs, kcod, kscl, vcod, vscl, positions, tables)
+
+    # write the row, then attend with lengths = pos + 1
+    pid = tables[jnp.arange(b), positions // ps]
+    off = positions % ps
+    kc2 = kc.at[:, pid, off].set(kcod.transpose(1, 0, 2))
+    ks2 = ks.at[:, pid, 0, off].set(kscl.astype(jnp.bfloat16).T)
+    vc2 = vc.at[:, pid, off].set(vcod.transpose(1, 0, 2))
+    vs2 = vs.at[:, pid, 0, off].set(vscl.astype(jnp.bfloat16).T)
+    out_ref = attn_int8.int8_paged_decode_attention(
+        q, kc2, ks2, vc2, vs2, positions + 1, tables)
+    np.testing.assert_allclose(np.asarray(out_cur), np.asarray(out_ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_paged_attend_update_matches_write_then_attend():
+    """FUSED paged write+attend (aliased in-kernel octet writes) must
+    produce the same ctx as write-then-attend AND leave the pool equal to
+    an explicit row write."""
+    import jax.numpy as jnp
+    from mxq_tpu.ops import attn_int8
+    from mxq_tpu.serving import kvcache
+
+    kvh, d, b = 4, 128, 3
+    ps = attn_int8.PAGE_INT8
+    npool = 8
+    key = jax.random.PRNGKey(7)
+    kc = jax.random.randint(key, (kvh, npool, ps, d), -127, 128, jnp.int8)
+    ks = (jax.random.uniform(key, (kvh, npool, 1, ps)) * 0.02 + 1e-3
+          ).astype(jnp.bfloat16)
+    vc = jax.random.randint(jax.random.fold_in(key, 1),
+                            (kvh, npool, ps, d), -127, 128, jnp.int8)
+    vs = (jax.random.uniform(jax.random.fold_in(key, 2),
+                             (kvh, npool, 1, ps)) * 0.02 + 1e-3
+          ).astype(jnp.bfloat16)
+    tables = jnp.array([[1, 2], [3, 4], [5, 6]], jnp.int32)
+    positions = jnp.array([ps - 1, 5, ps + 17], jnp.int32)
+    q = jax.random.normal(jax.random.fold_in(key, 3), (b, kvh * 2, d),
+                          jnp.float32)
+    knew = jax.random.normal(jax.random.fold_in(key, 4), (b, kvh, d),
+                             jnp.float32)
+    vnew = jax.random.normal(jax.random.fold_in(key, 5), (b, kvh, d),
+                             jnp.float32)
+    kcod, kscl = kvcache.quantize_kv(knew, d)
+    vcod, vscl = kvcache.quantize_kv(vnew, d)
+    kscl, vscl = kscl[..., 0], vscl[..., 0]
+
+    nulls = jnp.zeros((b,), jnp.int32)    # page 0 = null by convention
+    ctx, kc2, ks2, vc2, vs2 = attn_int8.int8_paged_decode_attend_update(
+        q, kc, ks, vc, vs, kcod, kscl, vcod, vscl, positions, tables,
+        nulls)
+
+    pid = tables[jnp.arange(b), positions // ps]
+    off = positions % ps
+    kc_ref = kc.at[:, pid, off].set(kcod.transpose(1, 0, 2))
+    ks_ref = ks.at[:, pid, 0, off].set(kscl.astype(jnp.bfloat16).T)
+    vc_ref = vc.at[:, pid, off].set(vcod.transpose(1, 0, 2))
+    vs_ref = vs.at[:, pid, 0, off].set(vscl.astype(jnp.bfloat16).T)
+    ctx_ref = attn_int8.int8_paged_decode_attention(
+        q, kc_ref, ks_ref, vc_ref, vs_ref, positions + 1, tables)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
+                               rtol=2e-2, atol=2e-2)
+    # page 0 is the NULL page: non-write grid steps park their output
+    # windows there (garbage by design, never read) — compare the rest
+    np.testing.assert_array_equal(np.asarray(kc2)[:, 1:],
+                                  np.asarray(kc_ref)[:, 1:])
+    np.testing.assert_array_equal(np.asarray(vc2)[:, 1:],
+                                  np.asarray(vc_ref)[:, 1:])
+    np.testing.assert_array_equal(np.asarray(ks2, np.float32)[:, 1:],
+                                  np.asarray(ks_ref, np.float32)[:, 1:])
+    np.testing.assert_array_equal(np.asarray(vs2, np.float32)[:, 1:],
+                                  np.asarray(vs_ref, np.float32)[:, 1:])
