@@ -323,8 +323,8 @@ def main(_retry=True):
     wd = None
     try:
         # stage 1: a tiny d2h transfer proves the relay is alive (5 min —
-        # generous for a cold backend) before committing to the long run
-        wd = _arm_watchdog(300, "relay-sanity")
+        # generous for a cold backend or a slow relay window) before the long run
+        wd = _arm_watchdog(600, "relay-sanity")
         _ = float(jnp.sum(jnp.ones((8, 128))))
         wd.cancel()
         # stage 2: the whole bench must land inside the driver's patience
