@@ -335,6 +335,17 @@ def main(_retry=True):
         layout, layout_times = autotune_layout(key)
         mm.GEMV_LAYOUT = layout
 
+        # training rows FIRST: the KD configs need the most contiguous
+        # HBM (params + teacher + adam moments), and running them after
+        # the decode stages OOMed at depth 2 from fragmentation
+        # (RESOURCE_EXHAUSTED in the r5 shakeout run)
+        import gc
+        gc.collect()
+        jax.clear_caches()
+        training = bench_training(key)
+        gc.collect()
+        jax.clear_caches()
+
         # bf16 dense baseline at reduced depth, extrapolated to 32 layers.
         t_dense = {}
         for nl in (8, 16):
@@ -420,8 +431,6 @@ def main(_retry=True):
         jax.clear_caches()
 
         del params
-        # training rows (KD-QAT, the reference's flagship flow)
-        training = bench_training(key)
         jax.clear_caches()
 
         toks = BATCH / t_kv8
