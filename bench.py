@@ -261,12 +261,12 @@ def bench_training(key):
 
     seq, bs = 2048, 1
     out = {}
+    import gc
     for depth in (4, 2):
+        params = teacher = opt_state = batch = None
         try:
             cfg = llama.LlamaConfig.llama2_7b(num_hidden_layers=depth)
             params = llama.init_params(cfg, key, dtype=jnp.bfloat16)
-            teacher = llama.init_params(cfg, jax.random.fold_in(key, 1),
-                                        dtype=jnp.bfloat16)
             n_params = sum(int(l.size) for l in
                            jax.tree_util.tree_leaves(params))
             batch = {"input_ids": jax.random.randint(
@@ -285,6 +285,11 @@ def bench_training(key):
                 opt = qtrain.make_optimizer(tc)
                 opt_state = opt.init(params)
                 step = jax.jit(qtrain.make_train_step(ccfg, tc, opt))
+                # teacher only for the KD row (an always-resident teacher
+                # pushed the depth-2 peak past HBM in the r5 shakeout)
+                teacher = (llama.init_params(cfg, jax.random.fold_in(key, 1),
+                                             dtype=jnp.bfloat16)
+                           if use_kd else None)
 
                 def stepb(c, x, _s=step):
                     p2, o2, _ = _s(x[0], c["teacher"], x[1], c["batch"])
@@ -292,8 +297,7 @@ def bench_training(key):
 
                 try:
                     t = time_op(stepb, (params, opt_state),
-                                const=dict(teacher=teacher if use_kd
-                                           else None, batch=batch),
+                                const=dict(teacher=teacher, batch=batch),
                                 iters_lo=2, iters_hi=6, reps=2)
                     # fwd 2PT + bwd 4PT (+ teacher fwd 2PT under KD)
                     flops = (8 if use_kd else 6) * n_params * bs * seq
@@ -304,17 +308,22 @@ def bench_training(key):
                     }
                 except Exception as e:      # noqa: BLE001
                     rows[name] = {"error": f"{type(e).__name__}: {e}"[:120]}
-                del opt_state
+                opt_state = teacher = None
+                gc.collect()
                 jax.clear_caches()
             out = {"depth": depth, "seq": seq, "batch": bs,
                    "n_params": n_params, "rows": rows}
-            del params, teacher
-            jax.clear_caches()
             if any("error" not in r for r in rows.values()):
                 break
         except Exception as e:              # noqa: BLE001 — try shallower
             out = {"depth": depth,
                    "error": f"{type(e).__name__}: {e}"[:160]}
+        finally:
+            # an OOM at this depth must not poison the shallower retry:
+            # the locals pin multi-GB device buffers (the r5 shakeout's
+            # depth-2 OOM was depth-4's params still referenced)
+            params = teacher = opt_state = batch = None
+            gc.collect()
             jax.clear_caches()
     return out
 
